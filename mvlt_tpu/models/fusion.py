@@ -1,0 +1,248 @@
+"""Single-stream multimodal fusion encoder (the reference's ``MVLBert``,
+``modules/model.py:16-183``), re-designed as functional JAX/flax.
+
+Sequence layout: ``[CLS] <image tokens> [SEP] <text tokens>``.
+Token types: 1 for positions <= obj_end ([CLS]+image+[SEP]), 0 for text
+(model.py:152-153).  Positions are a plain arange (model.py:156).
+
+Parity quirks reproduced deliberately:
+- the word-embedding table has ``vocab_size + 1`` rows (model.py:21);
+- ``embedding_LayerNorm`` / ``embedding_dropout`` are DEFINED in the
+  reference but never applied in ``get_embedding`` (model.py:25-26 vs
+  74-160) — embeddings enter the encoder raw, and we do the same;
+- attention masks are additive ``(1-m) * -10000.0`` (model.py:182);
+- seq2seq (UniLM) mode ignores text padding (model.py:118-123).
+
+KV-cached decoding uses a static-shape cache: the reference's per-step
+"append [MASK], then slice it off the cache" (model.py:589-591, 758-763,
+887-894) becomes a fixed-size buffer with a write index that simply never
+commits the [MASK] slot.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mvlt_tpu.config import FusionConfig
+from mvlt_tpu.ops import masks as mask_lib
+from mvlt_tpu.ops.attention import multi_head_attention
+from mvlt_tpu.ops.layers import gelu_exact, normal_init
+
+
+@dataclasses.dataclass
+class FusionOutput:
+    last_hidden: jnp.ndarray            # (B, S, H)
+    pooled: Optional[jnp.ndarray]       # (B, H) or None
+    obj_end: int                        # index of [SEP]
+    text_end: int                       # one past last text token
+    kv: Optional[Tuple] = None          # per-layer (k, v), each (B, nH, S, Dh)
+
+    def text_output(self):
+        return self.last_hidden[:, self.obj_end + 1:self.text_end]
+
+    def image_output(self):
+        return self.last_hidden[:, 1:self.obj_end]
+
+    def sep_output(self):
+        return self.last_hidden[:, self.obj_end]
+
+
+def init_cache(config: FusionConfig, batch: int, max_len: int,
+               dtype=jnp.float32) -> dict:
+    """Pre-allocated KV cache pytree: (L, B, nH, C, Dh) per tensor."""
+    shape = (config.num_hidden_layers, batch, config.num_attention_heads,
+             max_len, config.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+class SelfAttention(nn.Module):
+    """BERT self-attention with optional static-shape KV cache."""
+
+    config: FusionConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, bias, cache_kv=None, write_pos=None,
+                 deterministic: bool = True):
+        cfg = self.config
+        B, S, H = hidden.shape
+        nH, Dh = cfg.num_attention_heads, cfg.head_dim
+
+        def heads(x):
+            return x.reshape(B, S, nH, Dh).transpose(0, 2, 1, 3)
+
+        dense = lambda name: nn.Dense(H, kernel_init=normal_init(cfg.initializer_range),
+                                      dtype=self.dtype, name=name)
+        q = heads(dense("query")(hidden))
+        k = heads(dense("key")(hidden))
+        v = heads(dense("value")(hidden))
+
+        new_cache = None
+        if cache_kv is not None:
+            ck, cv = cache_kv  # (B, nH, C, Dh)
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, write_pos, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, write_pos, 0))
+            k, v = ck.astype(self.dtype), cv.astype(self.dtype)
+            new_cache = (ck, cv)
+
+        dropout_rng = None
+        if cfg.attention_probs_dropout_prob > 0.0 and not deterministic:
+            dropout_rng = self.make_rng("dropout")
+        ctx = multi_head_attention(
+            q, k, v, bias,
+            dropout_rate=cfg.attention_probs_dropout_prob,
+            dropout_rng=dropout_rng, deterministic=deterministic)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, H)
+
+        out = dense("out")(ctx)
+        out = nn.Dropout(cfg.hidden_dropout_prob)(out, deterministic=deterministic)
+        out = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                           name="out_layernorm")(out + hidden)
+        if cache_kv is not None:
+            return out, (k, v), new_cache
+        return out, (k, v), None
+
+
+class EncoderLayer(nn.Module):
+    config: FusionConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, bias, cache_kv=None, write_pos=None,
+                 deterministic: bool = True):
+        cfg = self.config
+        attn_out, kv, new_cache = SelfAttention(cfg, self.dtype, name="attention")(
+            hidden, bias, cache_kv, write_pos, deterministic)
+        inter = nn.Dense(cfg.intermediate_size,
+                         kernel_init=normal_init(cfg.initializer_range),
+                         dtype=self.dtype, name="intermediate")(attn_out)
+        inter = gelu_exact(inter)
+        out = nn.Dense(cfg.hidden_size,
+                       kernel_init=normal_init(cfg.initializer_range),
+                       dtype=self.dtype, name="output")(inter)
+        out = nn.Dropout(cfg.hidden_dropout_prob)(out, deterministic=deterministic)
+        out = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                           name="output_layernorm")(out + attn_out)
+        return out, kv, new_cache
+
+
+class Pooler(nn.Module):
+    """[CLS] pooler: dense + tanh (HF BertPooler; model.py:30)."""
+
+    config: FusionConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden):
+        first = hidden[:, 0]
+        out = nn.Dense(self.config.hidden_size,
+                       kernel_init=normal_init(self.config.initializer_range),
+                       dtype=self.dtype, name="dense")(first)
+        return jnp.tanh(out)
+
+
+class FusionEncoder(nn.Module):
+    """MVLBert equivalent: embeddings + mask build + N-layer encoder + pooler."""
+
+    config: FusionConfig
+    add_pooling_layer: bool = False
+    dtype: jnp.dtype = jnp.float32
+    cls_token_id: int = 101
+    sep_token_id: int = 102
+
+    def setup(self):
+        cfg = self.config
+        self.word_embeddings = nn.Embed(cfg.embedding_rows, cfg.hidden_size,
+                                        embedding_init=normal_init(cfg.initializer_range),
+                                        dtype=self.dtype, name="word_embeddings")
+        self.position_embeddings = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,
+                                            embedding_init=normal_init(cfg.initializer_range),
+                                            dtype=self.dtype, name="position_embeddings")
+        self.token_type_embeddings = nn.Embed(cfg.type_vocab_size, cfg.hidden_size,
+                                              embedding_init=normal_init(cfg.initializer_range),
+                                              dtype=self.dtype, name="token_type_embeddings")
+        self.layers = [EncoderLayer(cfg, self.dtype, name=f"layer_{i}")
+                       for i in range(cfg.num_hidden_layers)]
+        if self.add_pooling_layer:
+            self.pooler = Pooler(cfg, self.dtype, name="pooler")
+
+    # ------------------------------------------------------------------
+    # full (non-incremental) forward — reference model.py:35-72 + 110-160
+    # ------------------------------------------------------------------
+    def __call__(self, text_idx, text_mask, image_feature, image_mask,
+                 seq2seq_mask: bool = False, deterministic: bool = True,
+                 return_kv: bool = False) -> FusionOutput:
+        cfg = self.config
+        batch, num_obj = image_feature.shape[0], image_feature.shape[1]
+        obj_end = num_obj + 1                       # index of [SEP]
+        seq_len = 0 if text_idx is None else text_idx.shape[1]
+        text_end = obj_end + seq_len + 1
+        total = num_obj + seq_len + 2
+
+        cls_ids = jnp.full((batch, 1), self.cls_token_id, jnp.int32)
+        sep_ids = jnp.full((batch, 1), self.sep_token_id, jnp.int32)
+        parts = [self.word_embeddings(cls_ids),
+                 image_feature.astype(self.dtype),
+                 self.word_embeddings(sep_ids)]
+        if text_idx is not None:
+            parts.append(self.word_embeddings(text_idx))
+        vl = jnp.concatenate(parts, axis=1)
+
+        pos = jnp.arange(total, dtype=jnp.int32)
+        token_type = jnp.where(pos <= obj_end, 1, 0)
+        emb = (vl + self.token_type_embeddings(token_type)[None]
+               + self.position_embeddings(pos)[None])
+
+        if seq2seq_mask:
+            mask = mask_lib.seq2seq_fusion_mask(batch, obj_end, total)
+        else:
+            mask = mask_lib.bidirectional_key_mask(
+                image_mask, text_mask if text_idx is not None else None)
+        bias = mask_lib.mask_to_bias(mask, jnp.float32)
+
+        hidden = emb
+        kvs = []
+        for layer in self.layers:
+            hidden, kv, _ = layer(hidden, bias, deterministic=deterministic)
+            if return_kv:
+                kvs.append(kv)
+
+        pooled = self.pooler(hidden) if self.add_pooling_layer else None
+        return FusionOutput(hidden, pooled, obj_end, text_end,
+                            kv=tuple(kvs) if return_kv else None)
+
+    # ------------------------------------------------------------------
+    # incremental decode — reference model.py:82-108 with static cache
+    # ------------------------------------------------------------------
+    def decode_step(self, tokens, cache, write_pos, deterministic: bool = True):
+        """Run T (=1 or 2) tokens against the static cache.
+
+        tokens: (B, T) int32; their absolute positions are
+        ``write_pos + [0..T)``.  Returns (hidden (B,T,H), updated cache).
+        """
+        cfg = self.config
+        B, T = tokens.shape
+        pos = write_pos + jnp.arange(T, dtype=jnp.int32)
+        emb = (self.word_embeddings(tokens)
+               + self.token_type_embeddings(jnp.zeros((B, T), jnp.int32))
+               + self.position_embeddings(pos)[None])
+
+        cache_len = cache["k"].shape[3]
+        mask = mask_lib.decode_step_mask(B, T, cache_len, write_pos)
+        bias = mask_lib.mask_to_bias(mask, jnp.float32)
+
+        hidden = emb
+        new_k, new_v = [], []
+        for i, layer in enumerate(self.layers):
+            hidden, _, new_cache = layer(
+                hidden, bias, cache_kv=(cache["k"][i], cache["v"][i]),
+                write_pos=write_pos, deterministic=deterministic)
+            new_k.append(new_cache[0])
+            new_v.append(new_cache[1])
+        cache = {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
+        return hidden, cache
