@@ -47,7 +47,7 @@ class VisualAdapter(nn.Module):
         elif conv in ("vit", "visiontransformer"):
             from mvlt_tpu.models.backbones.vit import ViT
             self.backbone = ViT(cfg.vit, dtype=self.dtype, name="backbone")
-            self._needs_proj = False
+            self._needs_proj = cfg.vit.hidden_dim != cfg.fusion.hidden_size
         else:
             raise NotImplementedError(f"no such config.conv: {cfg.conv}")
         if self._needs_proj:

@@ -1,0 +1,321 @@
+"""Swin Transformer backbone, TPU-first (flax.linen + XLA; Pallas window
+attention pluggable via ``mvlt_tpu.ops.pallas_attn``).
+
+Re-design of the reference's vendored Microsoft Swin
+(``modules/visual_feature_extractor.py:113-702``), not a translation:
+
+- **Patch embedding is a reshape + matmul**, not a conv: the 4x4/stride-4
+  conv (reference ``PatchEmbed``, visual_feature_extractor.py:527-572) is a
+  non-overlapping patchify, which maps onto the MXU as one big dense layer
+  over flattened patches (NHWC layout).
+- **Static SW-MSA masks**: the shifted-window attention mask (reference
+  :318-348) is precomputed in numpy at trace time (additive -100 bias,
+  matching the reference's ``masked_fill(-100.0)``) — no data-dependent
+  control flow under jit.
+- **Cyclic shift** is ``jnp.roll`` (reference ``torch.roll``, :361, :378).
+- **Relative position bias** (reference :204-214, :240-244) is a gather
+  from a ``(2w-1)^2 x nH`` table with a static index — folded into the
+  attention bias ahead of the softmax so XLA fuses it.
+- **Window partition** (reference :144-160) is reshape/transpose, done once
+  per block on the NHWC feature map.
+- Stochastic depth (timm ``DropPath``) and per-block linspace decay rule
+  (reference :654) are reproduced exactly.
+
+Weight layout is convertible 1:1 from the official ``swin_*_patch4_window7_224.pth``
+checkpoints (fused qkv) and from HF ``SwinModel`` (split q/k/v) — see
+``mvlt_tpu/utils/convert.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from mvlt_tpu.config import SwinConfig
+from mvlt_tpu.ops.layers import DropPath, Mlp, gelu_exact, trunc_normal_init
+
+Dtype = Any
+
+
+@functools.lru_cache(maxsize=None)
+def relative_position_index(wh: int, ww: int) -> np.ndarray:
+    """Pairwise relative position index inside a (wh, ww) window
+    (reference visual_feature_extractor.py:204-214). Static table."""
+    coords = np.stack(np.meshgrid(np.arange(wh), np.arange(ww), indexing="ij"))
+    flat = coords.reshape(2, -1)                              # (2, N)
+    rel = flat[:, :, None] - flat[:, None, :]                 # (2, N, N)
+    rel = rel.transpose(1, 2, 0)                              # (N, N, 2)
+    rel[:, :, 0] += wh - 1
+    rel[:, :, 1] += ww - 1
+    rel[:, :, 0] *= 2 * ww - 1
+    return rel.sum(-1)                                        # (N, N)
+
+
+@functools.lru_cache(maxsize=None)
+def shifted_window_mask(H: int, W: int, window: int, shift: int) -> np.ndarray:
+    """Additive SW-MSA mask, (nW, N, N) float32 with 0 / -100 entries
+    (reference visual_feature_extractor.py:318-348)."""
+    img = np.zeros((H, W), np.int32)
+    slices = (slice(0, -window), slice(-window, -shift), slice(-shift, None))
+    cnt = 0
+    for h in slices:
+        for w in slices:
+            img[h, w] = cnt
+            cnt += 1
+    # window partition
+    img = img.reshape(H // window, window, W // window, window)
+    win = img.transpose(0, 2, 1, 3).reshape(-1, window * window)   # (nW, N)
+    diff = win[:, None, :] - win[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+def window_partition(x: jnp.ndarray, window: int) -> jnp.ndarray:
+    """(B, H, W, C) -> (B * nW, window*window, C) (reference :144-160)."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // window, window, W // window, window, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, window * window, C)
+
+
+def window_reverse(windows: jnp.ndarray, window: int, H: int, W: int) -> jnp.ndarray:
+    """Inverse of :func:`window_partition` (reference :163-173)."""
+    C = windows.shape[-1]
+    B = windows.shape[0] // (H * W // window // window)
+    x = windows.reshape(B, H // window, W // window, window, window, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H, W, C)
+
+
+class WindowAttention(nn.Module):
+    """W-MSA / SW-MSA with relative position bias
+    (reference visual_feature_extractor.py:176-257)."""
+
+    dim: int
+    window_size: Tuple[int, int]
+    num_heads: int
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[np.ndarray] = None,
+                 deterministic: bool = True):
+        """x: (B_, N, C) windows; mask: static (nW, N, N) additive or None."""
+        B_, N, C = x.shape
+        nH = self.num_heads
+        Dh = self.dim // nH
+        scale = self.qk_scale or Dh ** -0.5
+
+        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias,
+                       kernel_init=trunc_normal_init(0.02),
+                       dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B_, N, 3, nH, Dh).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]                      # (B_, nH, N, Dh)
+
+        table = self.param(
+            "relative_position_bias_table",
+            trunc_normal_init(0.02),
+            ((2 * self.window_size[0] - 1) * (2 * self.window_size[1] - 1), nH))
+        idx = relative_position_index(*self.window_size)      # static (N, N)
+        rel_bias = table[idx.reshape(-1)].reshape(N, N, nH)
+        rel_bias = rel_bias.transpose(2, 0, 1)                # (nH, N, N)
+
+        bias = rel_bias[None].astype(jnp.float32)             # (1, nH, N, N)
+        if mask is not None:
+            nW = mask.shape[0]
+            # (B, nW, nH, N, N) additive layout folded to (B_, nH, N, N)
+            m = jnp.asarray(mask)[:, None, :, :]              # (nW, 1, N, N)
+            m = jnp.tile(m, (B_ // nW, 1, 1, 1))              # (B_, 1, N, N)
+            bias = bias + m
+
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k.astype(q.dtype),
+                          preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(attn + bias, axis=-1).astype(q.dtype)
+        if self.attn_drop > 0.0 and not deterministic:
+            attn = nn.Dropout(self.attn_drop)(attn, deterministic=False)
+        ctx = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B_, N, C)
+
+        out = nn.Dense(self.dim, kernel_init=trunc_normal_init(0.02),
+                       dtype=self.dtype, name="proj")(ctx)
+        out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return out
+
+
+class SwinBlock(nn.Module):
+    """One Swin block: (S)W-MSA + MLP with pre-LN and stochastic depth
+    (reference visual_feature_extractor.py:273-391)."""
+
+    dim: int
+    input_resolution: Tuple[int, int]
+    num_heads: int
+    window_size: int = 7
+    shift_size: int = 0
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        H, W = self.input_resolution
+        B, L, C = x.shape
+
+        window, shift = self.window_size, self.shift_size
+        if min(self.input_resolution) <= window:
+            # window larger than the map: no partitioning, no shift
+            # (reference :302-305)
+            window, shift = min(self.input_resolution), 0
+
+        shortcut = x
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        x = x.reshape(B, H, W, C)
+
+        if shift > 0:
+            x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
+            mask = shifted_window_mask(H, W, window, shift)
+        else:
+            mask = None
+
+        windows = window_partition(x, window)                 # (B*nW, N, C)
+        attn_windows = WindowAttention(
+            self.dim, (window, window), self.num_heads, self.qkv_bias,
+            self.qk_scale, self.attn_drop, self.drop,
+            dtype=self.dtype, name="attn")(windows, mask, deterministic)
+        x = window_reverse(attn_windows, window, H, W)
+
+        if shift > 0:
+            x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
+        x = x.reshape(B, H * W, C)
+
+        x = shortcut + DropPath(self.drop_path, name="drop_path1")(
+            x, deterministic)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        y = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.drop,
+                dtype=self.dtype, name="mlp")(y, deterministic)
+        return x + DropPath(self.drop_path, name="drop_path2")(y, deterministic)
+
+
+class PatchMerging(nn.Module):
+    """2x2 patch merging downsample (reference :408-454)."""
+
+    input_resolution: Tuple[int, int]
+    dim: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        H, W = self.input_resolution
+        B, L, C = x.shape
+        x = x.reshape(B, H, W, C)
+        x0 = x[:, 0::2, 0::2]
+        x1 = x[:, 1::2, 0::2]
+        x2 = x[:, 0::2, 1::2]
+        x3 = x[:, 1::2, 1::2]
+        x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+        x = x.reshape(B, (H // 2) * (W // 2), 4 * C)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        return nn.Dense(2 * self.dim, use_bias=False,
+                        kernel_init=trunc_normal_init(0.02),
+                        dtype=self.dtype, name="reduction")(x)
+
+
+class PatchEmbed(nn.Module):
+    """Non-overlapping patchify as reshape + dense (MXU-native equivalent of
+    the reference's 4x4/stride-4 conv, visual_feature_extractor.py:527-572).
+
+    Input is NHWC. The dense kernel layout is ``(ph*pw*c, embed)`` with
+    patch pixels flattened in (ph, pw, c) order; ``convert.py`` reshapes
+    conv weights ``(embed, c, ph, pw)`` accordingly.
+    """
+
+    patch_size: int
+    embed_dim: int
+    patch_norm: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        p = self.patch_size
+        x = x.reshape(B, H // p, p, W // p, p, C)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, (H // p) * (W // p), p * p * C)
+        x = nn.Dense(self.embed_dim, kernel_init=trunc_normal_init(0.02),
+                     dtype=self.dtype, name="proj")(x)
+        if self.patch_norm:
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        return x
+
+
+class SwinTransformer(nn.Module):
+    """Hierarchical Swin encoder; returns all final-stage tokens
+    (B, H/32 * W/32, num_features) with no pooling or head, matching the
+    reference's feature-extractor use (visual_feature_extractor.py:676-693).
+
+    ``remat=True`` wraps each block in ``jax.checkpoint`` (the TPU
+    equivalent of the reference's optional ``torch.utils.checkpoint``,
+    :505-510).
+    """
+
+    config: SwinConfig
+    dtype: Optional[Dtype] = None
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        cfg = self.config
+        if x.shape[1] == cfg.in_chans and x.shape[1] != x.shape[2]:
+            # Accept NCHW for drop-in parity with the reference's pipelines;
+            # transpose once to the TPU-preferred NHWC.
+            x = x.transpose(0, 2, 3, 1)
+        x = PatchEmbed(cfg.patch_size, cfg.embed_dim, cfg.patch_norm,
+                       dtype=self.dtype, name="patch_embed")(x)
+
+        if cfg.ape:
+            pr = cfg.patches_resolution
+            ape = self.param("absolute_pos_embed", trunc_normal_init(0.02),
+                             (1, pr[0] * pr[1], cfg.embed_dim))
+            x = x + ape
+        x = nn.Dropout(cfg.drop_rate)(x, deterministic=deterministic)
+
+        # stochastic depth linspace decay over all blocks (reference :654)
+        dpr = np.linspace(0, cfg.drop_path_rate, sum(cfg.depths)).tolist()
+
+        block_cls = SwinBlock
+        if self.remat:
+            block_cls = nn.remat(SwinBlock, static_argnums=(2,))
+
+        for i_layer in range(cfg.num_layers):
+            dim = int(cfg.embed_dim * 2 ** i_layer)
+            res = (cfg.patches_resolution[0] // (2 ** i_layer),
+                   cfg.patches_resolution[1] // (2 ** i_layer))
+            offset = sum(cfg.depths[:i_layer])
+            for i_block in range(cfg.depths[i_layer]):
+                x = block_cls(
+                    dim=dim, input_resolution=res,
+                    num_heads=cfg.num_heads[i_layer],
+                    window_size=cfg.window_size,
+                    shift_size=0 if i_block % 2 == 0 else cfg.window_size // 2,
+                    mlp_ratio=cfg.mlp_ratio, qkv_bias=cfg.qkv_bias,
+                    qk_scale=cfg.qk_scale, drop=cfg.drop_rate,
+                    attn_drop=cfg.attn_drop_rate,
+                    drop_path=float(dpr[offset + i_block]),
+                    dtype=self.dtype,
+                    name=f"layers_{i_layer}_blocks_{i_block}",
+                )(x, deterministic)
+            if i_layer < cfg.num_layers - 1:
+                x = PatchMerging(res, dim, dtype=self.dtype,
+                                 name=f"layers_{i_layer}_downsample")(x)
+
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        return x
