@@ -1,0 +1,99 @@
+"""Benchmark: flagship VQA forward throughput (samples/sec/chip).
+
+Config of record (BASELINE.md / BASELINE.json): Swin-S @224 backbone +
+BERT-base single-stream fusion + VQA head, question length 23.  Prints ONE
+JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+``vs_baseline`` is the ratio against the CPU baseline (north star: >=5x
+images/sec/chip over CPU on v5e).  The reference PyTorch stack cannot run
+in this image (timm/torchvision absent), so the recorded CPU baseline is
+this same flagship forward measured on this host's CPU in float32 at
+batch 8 — the BASELINE.json comparison config ("answer-classification fwd
+pass, batch 8 on CPU").  Override with MVLT_BENCH_CPU_BASELINE or remeasure
+with --cpu-baseline.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Measured on this image's CPU (see module docstring): flagship VQA forward,
+# batch 8, float32, mean of 5 timed iters after warmup.
+CPU_BASELINE_SAMPLES_PER_SEC = 2.95
+
+
+def measure(batch: int, dtype, iters: int = 20, warmup: int = 1) -> float:
+    """Time ``iters`` chained forwards inside ONE jit program and fetch a
+    scalar at the end.  Chaining (each step perturbs the image with the
+    previous logits) defeats CSE, and the host fetch defeats async-dispatch
+    runtimes where ``block_until_ready`` returns before remote execution
+    finishes (observed under the axon TPU tunnel)."""
+    import jax
+    import jax.numpy as jnp
+    from mvlt_tpu.flagship import build_vqa_forward
+
+    fn, (variables, image, question) = build_vqa_forward(batch=batch,
+                                                         dtype=dtype)
+
+    def loop(variables, image, question):
+        def body(img, _):
+            logits = fn(variables, img, question)
+            bump = (logits.mean() * 1e-12).astype(img.dtype)
+            return img + bump, logits.mean()
+        _, means = jax.lax.scan(body, image, None, length=iters)
+        return means.sum()
+
+    jloop = jax.jit(loop)
+    for _ in range(warmup):
+        float(jax.device_get(jloop(variables, image, question)))
+    t0 = time.perf_counter()
+    val = float(jax.device_get(jloop(variables, image, question)))
+    dt = time.perf_counter() - t0
+    assert val == val, "NaN benchmark output"
+    return batch * iters / dt
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu-baseline", action="store_true",
+                    help="measure the CPU float32 batch-8 baseline and exit")
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--iters", type=int, default=None)
+    args = ap.parse_args()
+
+    if args.cpu_baseline:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        import jax.numpy as jnp
+        val = measure(args.batch or 8, jnp.float32, iters=args.iters or 5,
+                      warmup=1)
+        print(json.dumps({"metric": "vqa_fwd_samples_per_sec_cpu_f32_b8",
+                          "value": round(val, 3), "unit": "samples/sec",
+                          "vs_baseline": 1.0}))
+        return
+
+    import jax
+    import jax.numpy as jnp
+    platform = jax.devices()[0].platform
+    on_accel = platform not in ("cpu",)
+    batch = args.batch or (64 if on_accel else 8)
+    dtype = jnp.bfloat16 if on_accel else jnp.float32
+    iters = args.iters or (20 if on_accel else 5)
+
+    val = measure(batch, dtype, iters=iters)
+    baseline = float(os.environ.get("MVLT_BENCH_CPU_BASELINE",
+                                    CPU_BASELINE_SAMPLES_PER_SEC))
+    print(json.dumps({
+        "metric": "vqa_fwd_samples_per_sec_per_chip",
+        "value": round(val, 2),
+        "unit": "samples/sec",
+        "vs_baseline": round(val / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

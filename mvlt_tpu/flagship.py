@@ -1,0 +1,108 @@
+"""Flagship model builders shared by ``__graft_entry__.py`` and ``bench.py``.
+
+The flagship configuration is the reference's config of record
+(BASELINE.md): Swin-S @224 visual backbone + BERT-base single-stream fusion,
+VQA head for the forward benchmark and the MLM+ITM pretraining head for the
+full training step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mvlt_tpu.config import (FusionConfig, MeshConfig, MVLTConfig, SwinConfig,
+                             swin_small)
+from mvlt_tpu.models.heads import PretrainModel, VQAModel
+
+
+def flagship_vqa_config(result_num: int = 224) -> MVLTConfig:
+    cfg = MVLTConfig.for_vqa(result_num=result_num)
+    return dataclasses.replace(cfg, conv="swin", swin=swin_small())
+
+
+def zeros_init(model, *example_args):
+    """Shape-only init: zero params via eval_shape (fast, deterministic;
+    benchmarks don't need trained weights)."""
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), *example_args))
+    return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+
+def build_vqa_forward(batch: int = 8, seq_len: int = 23,
+                      dtype=jnp.bfloat16) -> Tuple:
+    """(jittable_fn, example_args) for the flagship VQA forward pass
+    (SLAKE config of record: Swin-S 224, question padded to 23)."""
+    cfg = flagship_vqa_config()
+    model = VQAModel(cfg, dtype=dtype)
+
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.normal(size=(batch, 3, 224, 224)), jnp.float32)
+    question = jnp.asarray(rng.integers(1, 30000, size=(batch, seq_len)),
+                           jnp.int32)
+    variables = zeros_init(model, image, question)
+
+    def forward(variables, image, question):
+        _, logits = model.apply(variables, image, question,
+                                deterministic=True)
+        return logits
+
+    return forward, (variables, image, question)
+
+
+def tiny_pretrain_config() -> MVLTConfig:
+    """Structurally complete but tiny (for multi-chip dry runs on CPU)."""
+    return MVLTConfig(
+        conv="swin",
+        fusion=FusionConfig(hidden_size=64, num_hidden_layers=2,
+                            num_attention_heads=4, intermediate_size=128,
+                            vocab_size=512, max_position_embeddings=128),
+        swin=SwinConfig(img_size=32, patch_size=4, embed_dim=16,
+                        depths=(1, 1), num_heads=(2, 4), window_size=4,
+                        drop_path_rate=0.0),
+        itm_task=True, lr=1e-3)
+
+
+def dryrun_multichip(n_devices: int) -> None:
+    """Compile + execute ONE full sharded training step (fwd, bwd, AdamW)
+    of the flagship pretraining model over an ``n_devices`` mesh with real
+    DP x TP shardings (tiny shapes).  PP/SP/EP are N/A for this model
+    family: it has no MoE and sequences are <=250 tokens (SURVEY.md §2.3).
+    """
+    from mvlt_tpu.parallel import build_mesh
+    from mvlt_tpu.train import (create_train_state, make_optimizer,
+                                make_pretrain_step, shard_train_state)
+
+    devices = jax.devices()[:n_devices]
+    mp = 2 if n_devices % 2 == 0 and n_devices > 1 else 1
+    mesh = build_mesh(MeshConfig(model_parallel=mp), devices=devices)
+
+    cfg = tiny_pretrain_config()
+    model = PretrainModel(cfg)
+    dp = n_devices // mp
+    B, L = max(2, dp), 8
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(B, 3, 32, 32)), jnp.float32),
+        "caption_masked": jnp.asarray(rng.integers(1, 400, (B, L)), jnp.int32),
+        "caption_label": jnp.asarray(
+            np.where(rng.random((B, L)) < 0.2,
+                     rng.integers(1, 400, (B, L)), -100), jnp.int32),
+        "itm_label": jnp.asarray(rng.integers(0, 2, (B,)), jnp.int32),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch["image"],
+                           batch["caption_masked"], batch["caption_label"],
+                           batch["itm_label"])
+    state = create_train_state(model, variables, make_optimizer(cfg))
+    state, shardings = shard_train_state(state, mesh)
+    step = make_pretrain_step(model, seq2seq=False, mesh=mesh,
+                              state_shardings=shardings)
+    state, metrics = step(state, step.shard_batch(batch),
+                          jax.random.PRNGKey(1))
+    loss = float(metrics["loss"])
+    assert np.isfinite(loss), f"non-finite loss {loss}"
+    assert int(state.step) == 1

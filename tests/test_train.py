@@ -1,0 +1,133 @@
+"""Sharded training: mesh build, TP partition rules, compiled train steps
+on the virtual 8-device CPU mesh (DP 8x1 and DP x TP 4x2).
+
+No reference equivalent — the reference is single-GPU with hand-rolled
+loops (SURVEY.md §2.3); this is new capability."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from mvlt_tpu.config import (MeshConfig, MVLTConfig, SwinConfig)
+from mvlt_tpu.models.heads import PretrainModel, VQAModel
+from mvlt_tpu.parallel import build_mesh, param_shardings, partition_spec_for_path
+from mvlt_tpu.train import (create_train_state, make_optimizer,
+                            make_pretrain_step, make_vqa_step,
+                            seq2seq_coin_flip, shard_train_state)
+
+pytestmark = pytest.mark.skipif(jax.device_count() < 8,
+                                reason="needs 8 virtual devices")
+
+
+def tiny_cfg(**kw) -> MVLTConfig:
+    import dataclasses
+    from mvlt_tpu.config import FusionConfig
+    cfg = MVLTConfig(
+        conv="swin",
+        fusion=FusionConfig(hidden_size=32, num_hidden_layers=2,
+                            num_attention_heads=4, intermediate_size=64,
+                            vocab_size=128, max_position_embeddings=96),
+        swin=SwinConfig(img_size=32, patch_size=4, embed_dim=8, depths=(1, 1),
+                        num_heads=(2, 4), window_size=4, drop_path_rate=0.0),
+        result_num=4, lr=1e-3)
+    return dataclasses.replace(cfg, **kw) if kw else cfg
+
+
+def vqa_batch(n=8):
+    rng = np.random.default_rng(0)
+    return {
+        "image": jnp.asarray(rng.normal(size=(n, 3, 32, 32)), jnp.float32),
+        "question": jnp.asarray(rng.integers(1, 100, size=(n, 6)), jnp.int32),
+        "label": jnp.asarray(rng.integers(0, 4, size=(n,)), jnp.int32),
+    }
+
+
+def test_build_mesh_shapes():
+    mesh = build_mesh(MeshConfig(model_parallel=2))
+    assert mesh.shape == {"data": 4, "model": 2}
+    mesh = build_mesh(MeshConfig())
+    assert mesh.shape == {"data": 8, "model": 1}
+    with pytest.raises(ValueError):
+        build_mesh(MeshConfig(model_parallel=3))
+
+
+def test_partition_rules():
+    assert partition_spec_for_path(
+        "layer_0/attention/query/kernel", 2, (32, 32), 2) == P(None, "model")
+    assert partition_spec_for_path(
+        "layer_0/attention/out/kernel", 2, (32, 32), 2) == P("model", None)
+    assert partition_spec_for_path(
+        "layer_0/output_layernorm/scale", 1, (32,), 2) == P()
+    assert partition_spec_for_path(
+        "mlm_head_seq2seq/decoder/kernel", 2, (32, 128), 2) == P(None, "model")
+    assert partition_spec_for_path(
+        "word_embeddings/embedding", 2, (129, 32), 2) == P()  # 129 % 2 != 0
+    assert partition_spec_for_path(
+        "word_embeddings/embedding", 2, (128, 32), 2) == P("model", None)
+    assert partition_spec_for_path("conv/backbone/norm/scale", 1, (8,), 2) == P()
+
+
+@pytest.mark.parametrize("model_parallel", [1, 2])
+def test_vqa_train_step_loss_decreases(model_parallel):
+    cfg = tiny_cfg()
+    mesh = build_mesh(MeshConfig(model_parallel=model_parallel))
+    model = VQAModel(cfg)
+    batch = vqa_batch()
+
+    variables = model.init(jax.random.PRNGKey(0), batch["image"],
+                           batch["question"])
+    tx = make_optimizer(cfg)
+    state = create_train_state(model, variables, tx)
+    state, shardings = shard_train_state(state, mesh)
+    step = make_vqa_step(model, mesh, shardings)
+
+    batch = step.shard_batch(batch)
+    losses = []
+    for i in range(8):
+        state, metrics = step(state, batch, jax.random.PRNGKey(42))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 8
+
+    # TP actually sharded the big kernels
+    if model_parallel > 1:
+        q = state.params["fusion"]["layer_0"]["attention"]["query"]["kernel"]
+        assert q.sharding.spec == P(None, "model")
+
+
+def test_pretrain_step_both_mask_modes():
+    cfg = tiny_cfg(itm_task=True)
+    mesh = build_mesh(MeshConfig())
+    model = PretrainModel(cfg)
+    rng = np.random.default_rng(1)
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(8, 3, 32, 32)), jnp.float32),
+        "caption_masked": jnp.asarray(rng.integers(1, 100, (8, 6)), jnp.int32),
+        "caption_label": jnp.asarray(
+            np.where(rng.random((8, 6)) < 0.2, rng.integers(1, 100, (8, 6)),
+                     -100), jnp.int32),
+        "itm_label": jnp.asarray(rng.integers(0, 2, (8,)), jnp.int32),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch["image"],
+                           batch["caption_masked"], batch["caption_label"],
+                           batch["itm_label"])
+    tx = make_optimizer(cfg)
+    state = create_train_state(model, variables, tx)
+    state, shardings = shard_train_state(state, mesh)
+
+    for seq2seq in (False, True):
+        step = make_pretrain_step(model, seq2seq, mesh, shardings)
+        state, metrics = step(state, step.shard_batch(batch),
+                              jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics["loss"]))
+        assert "mlm_loss" in metrics and "itm_loss" in metrics
+
+
+def test_seq2seq_coin_flip_is_keyed_and_balanced():
+    flips = [seq2seq_coin_flip(jax.random.PRNGKey(i)) for i in range(64)]
+    assert 16 < sum(flips) < 48          # ~half
+    again = [seq2seq_coin_flip(jax.random.PRNGKey(i)) for i in range(64)]
+    assert flips == again                 # reproducible
