@@ -1,0 +1,92 @@
+"""Host-side batching + prefetch loader (replaces torch DataLoader workers,
+``run_pretrain.py:255`` num_workers=8).
+
+- multi-threaded sample fetch (PIL/pickle IO release the GIL),
+- background prefetch queue overlapping host work with device steps,
+- per-process index sharding for multi-host DP (each host loads only its
+  slice — no reference equivalent, the reference is single-process),
+- deterministic order: shuffle is keyed by (seed, epoch), samples by
+  (seed, epoch, index) inside the datasets.
+
+Batches are dicts of stacked numpy arrays; non-array fields (ids, raw
+strings) are returned as lists under the same key.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, Iterator, Optional
+
+import numpy as np
+
+
+def _collate(samples) -> Any:
+    first = samples[0]
+    if isinstance(first, dict):
+        return {k: _collate([s[k] for s in samples]) for k in first}
+    if isinstance(first, np.ndarray):
+        return np.stack(samples)
+    if isinstance(first, (np.integer, int, np.floating, float)):
+        return np.asarray(samples)
+    return list(samples)
+
+
+class DataLoader:
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 drop_last: bool = False, seed: int = 0,
+                 num_threads: int = 8, prefetch: int = 2,
+                 process_index: int = 0, process_count: int = 1):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.num_threads = num_threads
+        self.prefetch = prefetch
+        self.process_index = process_index
+        self.process_count = process_count
+
+    def _indices(self, epoch: int) -> np.ndarray:
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            from mvlt_tpu.data.transforms import sample_rng
+            rng = sample_rng(self.seed, epoch, 0, tag=1)
+            rng.shuffle(idx)
+        # host shard: contiguous strided slice so every host sees an equal
+        # number of batches
+        return idx[self.process_index::self.process_count]
+
+    def batches_per_epoch(self) -> int:
+        n = len(self._indices(0))
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def epoch(self, epoch: int = 0) -> Iterator[Dict[str, Any]]:
+        idx = self._indices(epoch)
+        nb = self.batches_per_epoch()
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_threads) as pool:
+                for b in range(nb):
+                    if stop.is_set():
+                        return
+                    chunk = idx[b * self.batch_size:(b + 1) * self.batch_size]
+                    fetch = lambda i: self.dataset.__getitem__(int(i), epoch)
+                    samples = list(pool.map(fetch, chunk))
+                    out_q.put(_collate(samples))
+            out_q.put(None)
+
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
+        try:
+            while True:
+                batch = out_q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()
