@@ -1,0 +1,86 @@
+"""Report generation: train (unilm/normal strategies) + periodic beam/greedy
+test with the captioning metrics stack (reference
+``run_report_generation_cxr.py:315-379, 458-493``)."""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mvlt_tpu.data.loader import DataLoader
+from mvlt_tpu.metrics.eval_cap import CaptionEvaluator, compute_scores
+from mvlt_tpu.models.generation import GenerationSpec, generate
+from mvlt_tpu.tasks.common import TaskRunner, device_batch
+from mvlt_tpu.train import make_caption_step
+
+
+def train_caption(runner: TaskRunner, train_ds, test_ds=None,
+                  epochs: Optional[int] = None, test_freq: int = 5,
+                  learning_strategy: str = "unilm",
+                  num_beams: int = 5, tokenizer=None) -> List[Dict]:
+    tc = runner.train_config
+    epochs = epochs if epochs is not None else tc.epochs
+    step = make_caption_step(runner.model, learning_strategy, runner.mesh,
+                             runner.shardings)
+    loader = DataLoader(train_ds, tc.batch_size, shuffle=True, drop_last=True,
+                        seed=tc.seed, process_index=jax.process_index(),
+                        process_count=jax.process_count())
+    rng = jax.random.PRNGKey(tc.seed)
+    evals = []
+    for epoch in range(epochs):
+        for batch in loader.epoch(epoch):
+            b = step.shard_batch(device_batch(batch))
+            runner.state, metrics = step(runner.state, b, rng)
+            runner.log_step(metrics, samples=tc.batch_size)
+        if (epoch + 1) % tc.checkpoint_every_epochs == 0:
+            runner.save()
+        if test_ds is not None and tokenizer is not None \
+                and (epoch + 1) % test_freq == 0:
+            scores = eval_caption(runner, test_ds, tokenizer,
+                                  num_beams=num_beams,
+                                  strategy=learning_strategy)
+            runner.logger.info("epoch %d eval: %s", epoch, scores)
+            evals.append(scores)
+    return evals
+
+
+def eval_caption(runner: TaskRunner, test_ds, tokenizer,
+                 batch_size: int = 16, num_beams: int = 5,
+                 strategy: str = "unilm", max_samples: int = 0,
+                 include_meteor: bool = True) -> Dict[str, float]:
+    """Beam/greedy decode the test split, detokenize (stop at
+    [SEP]/[PAD]/[END], reference :335-346), score with the metrics stack +
+    the R2Gen-style double-check (:370-376)."""
+    model = runner.model
+    spec = GenerationSpec.from_config(runner.config, num_beams=num_beams,
+                                      strategy=strategy)
+
+    @jax.jit
+    def decode(variables, image):
+        return generate(model, variables, image, spec)
+
+    variables = {"params": runner.state.params,
+                 **runner.state.extra_variables}
+    loader = DataLoader(test_ds, batch_size, shuffle=False)
+    gts, preds = [], []
+    for batch in loader.epoch(0):
+        m = len(batch["caption"])
+        pad = batch_size - m
+        img = np.pad(batch["image"],
+                     [(0, pad)] + [(0, 0)] * (batch["image"].ndim - 1))
+        seqs = np.asarray(decode(variables, jnp.asarray(img))[0])[:m]
+        for ids, raw in zip(seqs, batch["raw_caption"]):
+            preds.append(tokenizer.decode(ids))
+            gts.append(raw)
+        if max_samples and len(gts) >= max_samples:
+            break
+    evaluator = CaptionEvaluator(gts, preds, include_meteor=include_meteor)
+    scores = evaluator.evaluate()
+    r2gen = compute_scores({i: [g] for i, g in enumerate(gts)},
+                           {i: [p] for i, p in enumerate(preds)},
+                           include_meteor=include_meteor)
+    scores.update({f"r2gen_{k}": v for k, v in r2gen.items()})
+    return scores

@@ -1,0 +1,104 @@
+"""Shared task plumbing: mesh + state construction, epoch loops,
+checkpointing, metric logging.
+
+This is the layer the reference hand-rolled separately in every
+``run_*.py`` (SURVEY.md §1 L6); here it is one runner with per-task hooks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mvlt_tpu.config import MeshConfig, MVLTConfig, TrainConfig
+from mvlt_tpu.parallel import build_mesh
+from mvlt_tpu.train import (create_train_state, make_optimizer,
+                            shard_train_state)
+from mvlt_tpu.utils import checkpoint as ckpt_lib
+from mvlt_tpu.utils.logging import MetricLogger, setup_logger
+
+
+def device_batch(batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
+    """numpy batch -> device arrays (drops non-array fields)."""
+    return {k: jnp.asarray(v) for k, v in batch.items()
+            if isinstance(v, np.ndarray) or np.isscalar(v)}
+
+
+class TaskRunner:
+    """Owns mesh, model state, step functions, checkpoints, logging."""
+
+    def __init__(self, model, config: MVLTConfig,
+                 train_config: TrainConfig = TrainConfig(),
+                 workdir: Optional[str] = None, name: str = "mvlt"):
+        self.model = model
+        self.config = config
+        self.train_config = train_config
+        self.workdir = workdir
+        self.logger = setup_logger(name, workdir,
+                                   distributed_rank=jax.process_index())
+        self.metrics = MetricLogger(workdir if jax.process_index() == 0
+                                    else None)
+        self.mesh = build_mesh(train_config.mesh)
+        self.state = None
+        self.shardings = None
+
+    def init_state(self, example_batch_args: tuple,
+                   pretrained_variables: Optional[Any] = None,
+                   rng: Optional[jax.Array] = None):
+        rng = rng if rng is not None else jax.random.PRNGKey(
+            self.train_config.seed)
+        variables = self.model.init(rng, *example_batch_args)
+        if pretrained_variables is not None:
+            variables = _merge_pretrained(variables, pretrained_variables,
+                                          self.logger)
+        tx = make_optimizer(self.config,
+                            grad_accum_steps=self.train_config.grad_accum_steps)
+        state = create_train_state(self.model, variables, tx)
+        self.state, self.shardings = shard_train_state(state, self.mesh)
+        return self.state
+
+    def maybe_restore(self) -> bool:
+        if not self.workdir:
+            return False
+        self.state, ok = ckpt_lib.restore_checkpoint(self.workdir, self.state)
+        if ok:
+            self.logger.info("restored checkpoint at step %d",
+                             int(self.state.step))
+        return ok
+
+    def save(self, keep: int = 3) -> None:
+        if self.workdir and jax.process_index() == 0:
+            ckpt_lib.save_checkpoint(self.workdir, self.state, keep=keep)
+
+    def log_step(self, metrics: Dict, samples: int) -> None:
+        step = int(self.state.step)
+        out = self.metrics.step(step, metrics, samples)
+        if step % max(1, self.train_config.log_every) == 0:
+            parts = " ".join(f"{k}={v:.4f}" for k, v in out.items()
+                             if k != "step")
+            self.logger.info("step %d: %s", step, parts)
+
+
+def _merge_pretrained(variables, pretrained, logger):
+    """Copy matching subtrees from a pretrained export into freshly
+    initialized variables (HF from_pretrained semantics: missing keys stay
+    initialized, unexpected keys are dropped)."""
+    flat_init = dict(jax.tree_util.tree_flatten_with_path(variables)[0])
+    flat_pre = dict(jax.tree_util.tree_flatten_with_path(pretrained)[0])
+    used = 0
+    out = {}
+    for path, leaf in flat_init.items():
+        if path in flat_pre and flat_pre[path].shape == leaf.shape:
+            out[path] = jnp.asarray(flat_pre[path], leaf.dtype)
+            used += 1
+        else:
+            out[path] = leaf
+    logger.info("loaded %d/%d pretrained tensors", used, len(flat_init))
+    treedef = jax.tree_util.tree_structure(variables)
+    leaves = [out[p] for p, _ in jax.tree_util.tree_flatten_with_path(
+        variables)[0]]
+    return jax.tree_util.tree_unflatten(treedef, leaves)

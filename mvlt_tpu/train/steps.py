@@ -64,7 +64,14 @@ def make_train_step(loss_fn: Callable[[Any, Any, Batch, jax.Array], Any],
     data = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
 
+    dp = mesh.shape.get("data", 1)
+
     def shard_batch(batch: Batch) -> Batch:
+        for k, v in batch.items():
+            if hasattr(v, "shape") and v.ndim and v.shape[0] % dp != 0:
+                raise ValueError(
+                    f"batch['{k}'] leading dim {v.shape[0]} not divisible by "
+                    f"data-parallel size {dp}; pick batch_size as a multiple")
         return jax.tree.map(lambda x: jax.device_put(x, data), batch)
 
     jitted = jax.jit(

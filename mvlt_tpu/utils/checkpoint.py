@@ -1,0 +1,94 @@
+"""Checkpoint / resume.
+
+One mechanism (the reference had two inconsistent ones: HF
+``save_pretrained`` dirs and whole-module ``torch.save`` pickles, and it
+never saved optimizer state — SURVEY.md §5):
+
+- :func:`save_checkpoint` / :func:`restore_checkpoint`: full TrainState
+  (params, optimizer moments, step, batch stats) via Orbax — sharded-array
+  aware, multi-host safe.
+- :func:`save_pretrained` / :func:`load_pretrained`: model-only export
+  (params + config.json), the interchange format for finetuning from a
+  pretrain run (parity with ``model.save_pretrained`` usage,
+  ``run_pretrain.py:190-192``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from mvlt_tpu.config import MVLTConfig
+
+
+def _checkpointer():
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(path: str, state: Any, step: Optional[int] = None,
+                    keep: int = 3) -> str:
+    """Save a TrainState under ``path/step_<n>`` and prune old steps."""
+    step = int(state.step) if step is None else int(step)
+    target = os.path.join(os.path.abspath(path), f"step_{step:08d}")
+    # split off non-pytree fields (tx/apply_fn are static)
+    payload = {"step": state.step, "params": state.params,
+               "opt_state": state.opt_state,
+               "extra_variables": state.extra_variables}
+    _checkpointer().save(target, payload, force=True)
+    _prune(path, keep)
+    return target
+
+
+def latest_checkpoint(path: str) -> Optional[str]:
+    if not os.path.isdir(path):
+        return None
+    steps = sorted(d for d in os.listdir(path) if d.startswith("step_"))
+    return os.path.join(path, steps[-1]) if steps else None
+
+
+def restore_checkpoint(path: str, state: Any) -> Tuple[Any, bool]:
+    """Restore into the (already-built, possibly sharded) state. Returns
+    (state, restored?)."""
+    target = latest_checkpoint(path) if not os.path.basename(path).startswith(
+        "step_") else path
+    if target is None:
+        return state, False
+    template = {"step": state.step, "params": state.params,
+                "opt_state": state.opt_state,
+                "extra_variables": state.extra_variables}
+    restored = _checkpointer().restore(target, item=template)
+    return state.replace(**restored), True
+
+
+def _prune(path: str, keep: int) -> None:
+    if not os.path.isdir(path):
+        return
+    steps = sorted(d for d in os.listdir(path) if d.startswith("step_"))
+    for d in steps[:-keep] if keep > 0 else []:
+        import shutil
+        shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# model-only export (pretrain -> finetune interchange)
+# ---------------------------------------------------------------------------
+
+def save_pretrained(path: str, config: MVLTConfig, variables: Any) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "config.json"), "w") as f:
+        f.write(config.to_json())
+    _checkpointer().save(os.path.join(os.path.abspath(path), "variables"),
+                         jax.tree.map(np.asarray, variables), force=True)
+
+
+def load_pretrained(path: str) -> Tuple[MVLTConfig, Any]:
+    with open(os.path.join(path, "config.json")) as f:
+        config = MVLTConfig.from_json(f.read())
+    variables = _checkpointer().restore(
+        os.path.join(os.path.abspath(path), "variables"))
+    return config, variables

@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""MLM+ITM pretraining over RGC / ROCO / MedICaT (TPU-native equivalent of
+reference ``run_pretrain.py`` / ``run_pretrain_roco_medicat.py`` /
+``run_pretrain_rgc_roco_medicat.py`` — one script, sources selected by
+flags)."""
+
+import argparse
+import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--rgc_index", default=None,
+                   help="RGC train_img_idx2path.pkl path")
+    p.add_argument("--roco_root", default=None)
+    p.add_argument("--medicat_root", default=None)
+    p.add_argument("--model_name", default="./checkpoints/pretrain")
+    p.add_argument("--export_dir", default="./checkpoints/pretrain_export")
+    p.add_argument("--conv", default="swin")
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--lr", type=float, default=4e-5)
+    p.add_argument("--epochs", type=int, default=150)
+    p.add_argument("--max_length", type=int, default=80)
+    p.add_argument("--itm_task", action="store_true", default=True)
+    p.add_argument("--no_itm_task", dest="itm_task", action="store_false")
+    p.add_argument("--model_parallel", type=int, default=1)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--tiny", action="store_true")
+    return p.parse_args()
+
+
+def build_source(args):
+    from mvlt_tpu.data.datasets import (ConcatSource, ImageFolderSource,
+                                        PickleSource, SyntheticSource)
+    sources = []
+    if args.synthetic:
+        sources.append(SyntheticSource(n=64, image_size=32 if args.tiny
+                                       else 224))
+    if args.rgc_index:
+        sources.append(PickleSource(args.rgc_index))
+    if args.roco_root:
+        sources.append(ImageFolderSource.from_roco(args.roco_root))
+    if args.medicat_root:
+        sources.append(ImageFolderSource.from_medicat(args.medicat_root))
+    if not sources:
+        raise SystemExit("no data source given (use --rgc_index/--roco_root/"
+                         "--medicat_root or --synthetic)")
+    return sources[0] if len(sources) == 1 else ConcatSource(*sources)
+
+
+def main():
+    args = parse_args()
+    import jax.numpy as jnp
+    from mvlt_tpu.config import (FusionConfig, MeshConfig, MVLTConfig,
+                                 SwinConfig, TrainConfig)
+    from mvlt_tpu.data.datasets import PretrainDataset
+    from mvlt_tpu.models.heads import PretrainModel
+    from mvlt_tpu.tasks.common import TaskRunner
+    from mvlt_tpu.tasks.pretrain import train_pretrain
+    from mvlt_tpu.text.tokenizer import WordPieceTokenizer
+
+    tokenizer = WordPieceTokenizer()
+    cfg = MVLTConfig.for_pretrain(lr=args.lr)
+    cfg = dataclasses.replace(cfg, conv=args.conv, itm_task=args.itm_task,
+                              max_length=args.max_length)
+    if args.tiny:
+        cfg = dataclasses.replace(
+            cfg,
+            fusion=FusionConfig(hidden_size=64, num_hidden_layers=2,
+                                num_attention_heads=4, intermediate_size=128),
+            swin=SwinConfig(img_size=32, patch_size=4, embed_dim=16,
+                            depths=(1, 1), num_heads=(2, 4), window_size=4,
+                            drop_path_rate=0.0))
+    cfg = cfg.with_tokenizer(tokenizer)
+
+    source = build_source(args)
+    dataset = PretrainDataset(source, tokenizer, max_length=args.max_length,
+                              mlm_task=cfg.mlm_task, itm_task=cfg.itm_task)
+
+    tc = TrainConfig(batch_size=args.batch_size, epochs=args.epochs,
+                     mesh=MeshConfig(model_parallel=args.model_parallel))
+    runner = TaskRunner(PretrainModel(cfg), cfg, tc, workdir=args.model_name,
+                        name="pretrain")
+    sample = dataset[0]
+    runner.init_state((jnp.asarray(sample["image"][None]),
+                       jnp.asarray(sample["caption_masked"][None]),
+                       jnp.asarray(sample["caption_label"][None]),
+                       jnp.asarray(sample["itm_label"][None])))
+    runner.maybe_restore()
+    train_pretrain(runner, dataset, epochs=args.epochs,
+                   export_dir=args.export_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Report generation train + beam-search eval (TPU-native equivalent of
+reference ``run_report_generation.py`` (RGC) and
+``run_report_generation_cxr.py`` (IU X-Ray / MIMIC-CXR) — one script,
+dataset selected by --dataset)."""
+
+import argparse
+import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", default="iu_xray",
+                   choices=["rgc", "iu_xray", "mimic_cxr", "synthetic"])
+    p.add_argument("--data_root", default="./dataset")
+    p.add_argument("--rgc_index", default=None)
+    p.add_argument("--model_name", default="./checkpoints/caption")
+    p.add_argument("--pretrained", default=None)
+    p.add_argument("--conv", default="swin")
+    p.add_argument("--learning_strategy", default="unilm",
+                   choices=["unilm", "normal"])
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--test_freq", type=int, default=5)
+    p.add_argument("--num_beams", type=int, default=5)
+    p.add_argument("--max_length", type=int, default=None)
+    p.add_argument("--model_parallel", type=int, default=1)
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--do_train", action="store_true", default=True)
+    p.add_argument("--no_train", dest="do_train", action="store_false")
+    p.add_argument("--do_test", action="store_true")
+    return p.parse_args()
+
+
+def default_max_length(dataset):
+    return {"rgc": 100, "iu_xray": 80, "mimic_cxr": 150, "synthetic": 24}[dataset]
+
+
+def build_datasets(args, tokenizer, max_length):
+    from mvlt_tpu.data.datasets import (CaptionDataset, CXRAnnotationDataset,
+                                        PickleSource, SyntheticSource)
+    if args.dataset == "synthetic":
+        mk = lambda split: CaptionDataset(
+            SyntheticSource(n=16, image_size=32 if args.tiny else 224),
+            tokenizer, max_length, split,
+            learning_strategy=args.learning_strategy)
+        return mk("train"), mk("test")
+    if args.dataset == "rgc":
+        mk = lambda split: CaptionDataset(
+            PickleSource(args.rgc_index.replace("train", split)),
+            tokenizer, max_length, split,
+            learning_strategy=args.learning_strategy)
+        return mk("train"), mk("test")
+    two_view = args.dataset == "iu_xray"
+    root = os.path.join(args.data_root, args.dataset)
+    mk = lambda split: CXRAnnotationDataset(
+        os.path.join(root, "images"), os.path.join(root, "annotation.json"),
+        tokenizer, split, two_view=two_view, max_length=max_length,
+        pretrained=args.pretrained is not None,
+        learning_strategy=args.learning_strategy)
+    return mk("train"), mk("test")
+
+
+def main():
+    args = parse_args()
+    import jax.numpy as jnp
+    from mvlt_tpu.config import (FusionConfig, MeshConfig, MVLTConfig,
+                                 SwinConfig, TrainConfig)
+    from mvlt_tpu.models.heads import CaptionModel
+    from mvlt_tpu.tasks.caption import eval_caption, train_caption
+    from mvlt_tpu.tasks.common import TaskRunner
+    from mvlt_tpu.text.tokenizer import WordPieceTokenizer
+    from mvlt_tpu.utils import checkpoint as ckpt_lib
+
+    tokenizer = WordPieceTokenizer()
+    max_length = args.max_length or default_max_length(args.dataset)
+    cfg = MVLTConfig.for_caption(lr=args.lr, max_length=max_length)
+    cfg = dataclasses.replace(cfg, conv=args.conv)
+    if args.tiny:
+        cfg = dataclasses.replace(
+            cfg,
+            fusion=FusionConfig(hidden_size=64, num_hidden_layers=2,
+                                num_attention_heads=4, intermediate_size=128),
+            swin=SwinConfig(img_size=32, patch_size=4, embed_dim=16,
+                            depths=(1, 1), num_heads=(2, 4), window_size=4,
+                            drop_path_rate=0.0))
+    cfg = cfg.with_tokenizer(tokenizer)
+
+    train_ds, test_ds = build_datasets(args, tokenizer, max_length)
+
+    pretrained = None
+    if args.pretrained:
+        _, pretrained = ckpt_lib.load_pretrained(args.pretrained)
+
+    tc = TrainConfig(batch_size=args.batch_size, epochs=args.epochs,
+                     mesh=MeshConfig(model_parallel=args.model_parallel))
+    runner = TaskRunner(CaptionModel(cfg), cfg, tc, workdir=args.model_name,
+                        name="caption")
+    sample = train_ds[0]
+    runner.init_state((jnp.asarray(sample["image"][None]),
+                       jnp.asarray(sample["caption"][None])),
+                      pretrained_variables=pretrained)
+    runner.maybe_restore()
+
+    if args.do_train:
+        train_caption(runner, train_ds, test_ds, epochs=args.epochs,
+                      test_freq=args.test_freq,
+                      learning_strategy=args.learning_strategy,
+                      num_beams=args.num_beams, tokenizer=tokenizer)
+    if args.do_test:
+        scores = eval_caption(runner, test_ds, tokenizer,
+                              num_beams=args.num_beams,
+                              strategy=args.learning_strategy)
+        print(scores)
+
+
+if __name__ == "__main__":
+    main()

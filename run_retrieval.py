@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Image-text retrieval train / test / rank (TPU-native equivalent of
+reference ``run_retrieval.py`` and ``run_retrieval_iuxray.py``)."""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--rgc_index", default=None,
+                   help="RGC {split}_img_idx2path.pkl (train path)")
+    p.add_argument("--model_name", default="./checkpoints/retrieval")
+    p.add_argument("--pretrained", default=None)
+    p.add_argument("--conv", default="swin")
+    p.add_argument("--swap", default="either", choices=["either", "image"],
+                   help="negative sampling: iu-xray variant uses 'image'")
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--lr", type=float, default=1e-6)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--max_length", type=int, default=80)
+    p.add_argument("--model_parallel", type=int, default=1)
+    p.add_argument("--do_train", action="store_true")
+    p.add_argument("--do_test", action="store_true")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--tiny", action="store_true")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax.numpy as jnp
+    from mvlt_tpu.config import (FusionConfig, MeshConfig, MVLTConfig,
+                                 SwinConfig, TrainConfig)
+    from mvlt_tpu.data.datasets import (PickleSource, RetrievalDataset,
+                                        SyntheticSource)
+    from mvlt_tpu.models.heads import RetrievalModel
+    from mvlt_tpu.tasks.common import TaskRunner
+    from mvlt_tpu.tasks.retrieval import (eval_retrieval, train_retrieval)
+    from mvlt_tpu.text.tokenizer import WordPieceTokenizer
+    from mvlt_tpu.utils import checkpoint as ckpt_lib
+
+    tokenizer = WordPieceTokenizer()
+    cfg = MVLTConfig.for_retrieval(lr=args.lr, max_length=args.max_length)
+    cfg = dataclasses.replace(cfg, conv=args.conv)
+    if args.tiny:
+        cfg = dataclasses.replace(
+            cfg,
+            fusion=FusionConfig(hidden_size=64, num_hidden_layers=2,
+                                num_attention_heads=4, intermediate_size=128,
+                                attention_probs_dropout_prob=0.1),
+            swin=SwinConfig(img_size=32, patch_size=4, embed_dim=16,
+                            depths=(1, 1), num_heads=(2, 4), window_size=4,
+                            drop_path_rate=0.0))
+    cfg = cfg.with_tokenizer(tokenizer)
+
+    if args.synthetic:
+        src_train = SyntheticSource(n=32, image_size=32 if args.tiny else 224)
+        src_test = SyntheticSource(n=8, image_size=32 if args.tiny else 224,
+                                   seed=1)
+    else:
+        src_train = PickleSource(args.rgc_index)
+        src_test = PickleSource(args.rgc_index.replace("train", "test"))
+    train_ds = RetrievalDataset(src_train, tokenizer, args.max_length,
+                                "train", swap=args.swap)
+    test_ds = RetrievalDataset(src_test, tokenizer, args.max_length, "test")
+
+    pretrained = None
+    if args.pretrained:
+        _, pretrained = ckpt_lib.load_pretrained(args.pretrained)
+
+    tc = TrainConfig(batch_size=args.batch_size, epochs=args.epochs,
+                     mesh=MeshConfig(model_parallel=args.model_parallel))
+    runner = TaskRunner(RetrievalModel(cfg), cfg, tc, workdir=args.model_name,
+                        name="retrieval")
+    sample = train_ds[0]["pos"]
+    runner.init_state((jnp.asarray(sample["image"][None]),
+                       jnp.asarray(sample["caption"][None])),
+                      pretrained_variables=pretrained)
+    runner.maybe_restore()
+
+    if args.do_train:
+        train_retrieval(runner, train_ds, epochs=args.epochs)
+    if args.do_test:
+        result = eval_retrieval(runner, test_ds,
+                                batch_size=min(64, len(test_ds)))
+        runner.logger.info("retrieval eval: %s", result)
+        if args.model_name:
+            os.makedirs(args.model_name, exist_ok=True)
+            with open(os.path.join(args.model_name, "eval.json"), "w") as f:
+                json.dump(result, f, indent=2)
+        print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

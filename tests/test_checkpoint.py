@@ -1,0 +1,89 @@
+"""Checkpoint/resume: TrainState roundtrip (incl. optimizer state — the
+reference never saved it, SURVEY.md §5), pretrained export, pruning."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mvlt_tpu.config import MVLTConfig, SwinConfig
+from mvlt_tpu.models.heads import VQAModel
+from mvlt_tpu.train import create_train_state, make_optimizer, make_vqa_step
+from mvlt_tpu.utils import checkpoint as ckpt
+
+
+@pytest.fixture(scope="module")
+def tiny_state():
+    import dataclasses
+    from mvlt_tpu.config import FusionConfig
+    cfg = MVLTConfig(
+        conv="linear",
+        fusion=FusionConfig(hidden_size=32, num_hidden_layers=1,
+                            num_attention_heads=2, intermediate_size=64,
+                            vocab_size=64, max_position_embeddings=64),
+        result_num=3)
+    model = VQAModel(cfg)
+    img = jnp.zeros((2, 3, 32, 32), jnp.float32)
+    q = jnp.ones((2, 4), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), img, q)
+    state = create_train_state(model, variables, make_optimizer(cfg))
+    # take one real step so optimizer moments are nonzero
+    step = make_vqa_step(model)
+    batch = {"image": img, "question": q,
+             "label": jnp.zeros((2,), jnp.int32)}
+    state, _ = step(state, batch, jax.random.PRNGKey(0))
+    return cfg, model, state
+
+
+def test_train_state_roundtrip(tiny_state, tmp_path_factory):
+    cfg, model, state = tiny_state
+    path = str(tmp_path_factory.mktemp("ckpt"))
+    ckpt.save_checkpoint(path, state)
+
+    variables = model.init(jax.random.PRNGKey(1),
+                           jnp.zeros((2, 3, 32, 32), jnp.float32),
+                           jnp.ones((2, 4), jnp.int32))
+    fresh = create_train_state(model, variables, make_optimizer(cfg))
+    restored, ok = ckpt.restore_checkpoint(path, fresh)
+    assert ok
+    assert int(restored.step) == int(state.step) == 1
+    for a, b in zip(jax.tree.leaves(restored.params),
+                    jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(restored.opt_state),
+                    jax.tree.leaves(state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_restore_missing_returns_flag(tiny_state, tmp_path_factory):
+    _, _, state = tiny_state
+    path = str(tmp_path_factory.mktemp("empty"))
+    _, ok = ckpt.restore_checkpoint(path, state)
+    assert not ok
+
+
+def test_pruning_keeps_latest(tiny_state, tmp_path_factory):
+    _, _, state = tiny_state
+    path = str(tmp_path_factory.mktemp("prune"))
+    for s in range(5):
+        ckpt.save_checkpoint(path, state, step=s, keep=2)
+    import os
+    steps = sorted(os.listdir(path))
+    assert steps == ["step_00000003", "step_00000004"]
+
+
+def test_pretrained_export_roundtrip(tiny_state, tmp_path_factory):
+    cfg, model, state = tiny_state
+    path = str(tmp_path_factory.mktemp("export"))
+    ckpt.save_pretrained(path, cfg, {"params": state.params,
+                                     **state.extra_variables})
+    cfg2, variables = ckpt.load_pretrained(path)
+    assert cfg2.result_num == cfg.result_num
+    assert cfg2.fusion.hidden_size == cfg.fusion.hidden_size
+    out1 = model.apply({"params": state.params, **state.extra_variables},
+                       jnp.zeros((1, 3, 32, 32)), jnp.ones((1, 4), jnp.int32))
+    out2 = model.apply(variables, jnp.zeros((1, 3, 32, 32)),
+                       jnp.ones((1, 4), jnp.int32))
+    np.testing.assert_allclose(np.asarray(out1[1]), np.asarray(out2[1]),
+                               atol=1e-6)
