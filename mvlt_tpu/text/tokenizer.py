@@ -167,6 +167,15 @@ class WordPieceTokenizer:
         self.all_special_tokens = [t for t in SPECIAL_TOKENS if t in self.vocab]
         self.basic = BasicTokenizer(do_lower_case, never_split=self.all_special_tokens)
         self.max_input_chars_per_word = 100
+        # optional native fast path (csrc/tokenizer.cc); ASCII-only,
+        # parity-tested against the Python path in tests/test_native.py
+        self._native = None
+        try:
+            from mvlt_tpu.text.native import NativeWordPiece
+            self._native = NativeWordPiece(vocab_path, do_lower_case,
+                                           eos_token)
+        except Exception:
+            self._native = None
 
     # -- special token ids ------------------------------------------------
     @property
@@ -260,6 +269,8 @@ class WordPieceTokenizer:
         return [self.ids_to_tokens.get(int(i), self.unk_token) for i in ids]
 
     def encode(self, text: str) -> List[int]:
+        if self._native is not None and text.isascii():
+            return self._native.encode(text)
         return self.convert_tokens_to_ids(self.tokenize(text))
 
     def decode_tokens(self, tokens: Iterable[str]) -> str:
