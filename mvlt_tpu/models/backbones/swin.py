@@ -93,7 +93,12 @@ def window_reverse(windows: jnp.ndarray, window: int, H: int, W: int) -> jnp.nda
 
 class WindowAttention(nn.Module):
     """W-MSA / SW-MSA with relative position bias
-    (reference visual_feature_extractor.py:176-257)."""
+    (reference visual_feature_extractor.py:176-257).
+
+    ``attn_impl``: 'auto' (Pallas fused kernel on TPU, XLA elsewhere),
+    'pallas', 'interpret' (Pallas in interpreter mode, for CPU tests),
+    or 'xla'.
+    """
 
     dim: int
     window_size: Tuple[int, int]
@@ -103,6 +108,8 @@ class WindowAttention(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     dtype: Optional[Dtype] = None
+    attn_impl: str = "auto"
+    windows_per_image: int = 1
 
     @nn.compact
     def __call__(self, x, mask: Optional[np.ndarray] = None,
@@ -127,20 +134,34 @@ class WindowAttention(nn.Module):
         rel_bias = table[idx.reshape(-1)].reshape(N, N, nH)
         rel_bias = rel_bias.transpose(2, 0, 1)                # (nH, N, N)
 
-        bias = rel_bias[None].astype(jnp.float32)             # (1, nH, N, N)
+        # combined bias per in-image window pattern: (nWb, nH, N, N)
+        combined = rel_bias[None].astype(jnp.float32)
         if mask is not None:
-            nW = mask.shape[0]
-            # (B, nW, nH, N, N) additive layout folded to (B_, nH, N, N)
-            m = jnp.asarray(mask)[:, None, :, :]              # (nW, 1, N, N)
-            m = jnp.tile(m, (B_ // nW, 1, 1, 1))              # (B_, 1, N, N)
-            bias = bias + m
+            combined = combined + jnp.asarray(mask)[:, None]
 
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k.astype(q.dtype),
-                          preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(attn + bias, axis=-1).astype(q.dtype)
-        if self.attn_drop > 0.0 and not deterministic:
-            attn = nn.Dropout(self.attn_drop)(attn, deterministic=False)
-        ctx = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        impl = self.attn_impl
+        if impl == "auto":
+            # Measured on v5e (batch 64, Swin-S): the fused Pallas kernel
+            # wins in isolation (stage-1 core 3.7ms -> <0.5ms) but loses
+            # end-to-end because XLA fuses the einsum attention into the
+            # surrounding ops; whole-model XLA 49.7ms vs pallas 51-57ms.
+            # Default to XLA; 'pallas' stays available per-module.
+            impl = "xla"
+
+        if impl in ("pallas", "interpret"):
+            from mvlt_tpu.ops.pallas_attn import window_attention
+            ctx = window_attention(q, k, v, combined, scale,
+                                   interpret=(impl == "interpret"))
+        else:
+            bias = combined[jnp.arange(B_) % combined.shape[0]] \
+                if combined.shape[0] > 1 else combined
+            attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale,
+                              k.astype(q.dtype),
+                              preferred_element_type=jnp.float32)
+            attn = jax.nn.softmax(attn + bias, axis=-1).astype(q.dtype)
+            if self.attn_drop > 0.0 and not deterministic:
+                attn = nn.Dropout(self.attn_drop)(attn, deterministic=False)
+            ctx = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(B_, N, C)
 
         out = nn.Dense(self.dim, kernel_init=trunc_normal_init(0.02),
@@ -165,6 +186,7 @@ class SwinBlock(nn.Module):
     attn_drop: float = 0.0
     drop_path: float = 0.0
     dtype: Optional[Dtype] = None
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -191,7 +213,9 @@ class SwinBlock(nn.Module):
         attn_windows = WindowAttention(
             self.dim, (window, window), self.num_heads, self.qkv_bias,
             self.qk_scale, self.attn_drop, self.drop,
-            dtype=self.dtype, name="attn")(windows, mask, deterministic)
+            dtype=self.dtype, attn_impl=self.attn_impl,
+            windows_per_image=(H // window) * (W // window),
+            name="attn")(windows, mask, deterministic)
         x = window_reverse(attn_windows, window, H, W)
 
         if shift > 0:
@@ -270,6 +294,7 @@ class SwinTransformer(nn.Module):
     config: SwinConfig
     dtype: Optional[Dtype] = None
     remat: bool = False
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -310,7 +335,7 @@ class SwinTransformer(nn.Module):
                     qk_scale=cfg.qk_scale, drop=cfg.drop_rate,
                     attn_drop=cfg.attn_drop_rate,
                     drop_path=float(dpr[offset + i_block]),
-                    dtype=self.dtype,
+                    dtype=self.dtype, attn_impl=self.attn_impl,
                     name=f"layers_{i_layer}_blocks_{i_block}",
                 )(x, deterministic)
             if i_layer < cfg.num_layers - 1:

@@ -1,0 +1,65 @@
+"""Pallas window-attention kernel: parity vs the XLA einsum path
+(interpret mode on CPU), gradients, and Swin integration."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mvlt_tpu.config import SwinConfig
+from mvlt_tpu.models.backbones.swin import SwinTransformer
+from mvlt_tpu.ops.pallas_attn import _xla_reference, window_attention
+
+
+def _rand(shape, key, dtype=jnp.float32):
+    return jax.random.normal(jax.random.PRNGKey(key), shape, dtype)
+
+
+@pytest.mark.parametrize("nWb,BW", [(1, 8), (4, 16), (16, 16)])
+def test_kernel_matches_xla(nWb, BW):
+    nH, N, Dh = 3, 49, 32
+    q = _rand((BW, nH, N, Dh), 0)
+    k = _rand((BW, nH, N, Dh), 1)
+    v = _rand((BW, nH, N, Dh), 2)
+    bias = _rand((nWb, nH, N, N), 3) * 0.1
+    got = window_attention(q, k, v, bias, Dh ** -0.5, interpret=True)
+    want, _ = _xla_reference(q, k, v, bias, Dh ** -0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_kernel_grad_matches_xla():
+    nH, N, Dh, BW, nWb = 2, 16, 8, 4, 2
+    q = _rand((BW, nH, N, Dh), 0)
+    k = _rand((BW, nH, N, Dh), 1)
+    v = _rand((BW, nH, N, Dh), 2)
+    bias = _rand((nWb, nH, N, N), 3) * 0.1
+
+    def loss_kernel(q, k, v, bias):
+        return window_attention(q, k, v, bias, Dh ** -0.5,
+                                interpret=True).sum()
+
+    def loss_ref(q, k, v, bias):
+        out, _ = _xla_reference(q, k, v, bias, Dh ** -0.5)
+        return out.sum()
+
+    g1 = jax.grad(loss_kernel, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_swin_interpret_matches_xla_impl():
+    cfg = SwinConfig(img_size=32, patch_size=4, embed_dim=8, depths=(2, 2),
+                     num_heads=(2, 4), window_size=4, drop_path_rate=0.0)
+    img = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 3, 32, 32)).astype(np.float32))
+    xla_model = SwinTransformer(cfg, attn_impl="xla")
+    params = xla_model.init(jax.random.PRNGKey(0), img)["params"]
+    want = xla_model.apply({"params": params}, img)
+    got = SwinTransformer(cfg, attn_impl="interpret").apply(
+        {"params": params}, img)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
