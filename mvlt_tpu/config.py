@@ -156,6 +156,12 @@ class MVLTConfig:
     max_length: int = 40
     is_decoder: bool = False
 
+    # Rematerialization (jax.checkpoint) — TPU equivalent of the
+    # reference's unused torch.utils.checkpoint knob
+    # (swin_transformer_config.py:110, visual_feature_extractor.py:505-510)
+    remat_backbone: bool = False
+    remat_fusion: bool = False
+
     # Special token ids, resolved from the tokenizer
     # (``MVLBertConfig.update_special_tokens``, config.py:23-27).
     pad_token_id: int = 0

@@ -136,6 +136,35 @@ class SyntheticSource:
         return im, self.captions[index], index, index
 
 
+class AnnotationSource:
+    """(image, report) source over an R2Gen-style annotation.json + image
+    dir — feeds :class:`RetrievalDataset` for the IU X-Ray retrieval
+    variant (reference ``run_retrieval_iuxray.py:18-179``; two-view images,
+    negatives always swap the image)."""
+
+    def __init__(self, image_dir: str, ann_path: str, split: str = "train",
+                 two_view: bool = True, image_size: int = 224):
+        self.image_dir = image_dir
+        self.two_view = two_view
+        self.image_size = image_size
+        with open(ann_path) as f:
+            self.examples = json.load(f)[split]
+
+    def __len__(self):
+        return len(self.examples)
+
+    def __getitem__(self, index: int):
+        e = self.examples[index]
+        paths = e["image_path"]
+        load = lambda p: T.load_image_var_normalized(
+            os.path.join(self.image_dir, p), self.image_size)
+        if self.two_view:
+            im = np.stack([load(paths[0]), load(paths[1])], 0)
+        else:
+            im = load(paths[0])
+        return im, e["report"], e["id"], e["id"]
+
+
 class ConcatSource:
     """Index-range dispatch over multiple sources
     (run_pretrain_rgc_roco_medicat.py:94-129)."""

@@ -38,6 +38,7 @@ class VisualAdapter(nn.Module):
         elif conv in ("swin", "swintransformer"):
             from mvlt_tpu.models.backbones.swin import SwinTransformer
             self.backbone = SwinTransformer(cfg.swin, dtype=self.dtype,
+                                            remat=cfg.remat_backbone,
                                             name="backbone")
             self._needs_proj = cfg.swin.num_features != cfg.fusion.hidden_size
         elif conv in ("resnet101", "resnet50"):

@@ -154,6 +154,7 @@ class FusionEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     cls_token_id: int = 101
     sep_token_id: int = 102
+    remat: bool = False
 
     def setup(self):
         cfg = self.config
@@ -166,7 +167,11 @@ class FusionEncoder(nn.Module):
         self.token_type_embeddings = nn.Embed(cfg.type_vocab_size, cfg.hidden_size,
                                               embedding_init=normal_init(cfg.initializer_range),
                                               dtype=self.dtype, name="token_type_embeddings")
-        self.layers = [EncoderLayer(cfg, self.dtype, name=f"layer_{i}")
+        layer_cls = EncoderLayer
+        if self.remat:
+            # args: (self, hidden, bias, cache_kv, write_pos, deterministic)
+            layer_cls = nn.remat(EncoderLayer, static_argnums=(5,))
+        self.layers = [layer_cls(cfg, self.dtype, name=f"layer_{i}")
                        for i in range(cfg.num_hidden_layers)]
         if self.add_pooling_layer:
             self.pooler = Pooler(cfg, self.dtype, name="pooler")
@@ -208,7 +213,7 @@ class FusionEncoder(nn.Module):
         hidden = emb
         kvs = []
         for layer in self.layers:
-            hidden, kv, _ = layer(hidden, bias, deterministic=deterministic)
+            hidden, kv, _ = layer(hidden, bias, None, None, deterministic)
             if return_kv:
                 kvs.append(kv)
 
@@ -240,8 +245,8 @@ class FusionEncoder(nn.Module):
         new_k, new_v = [], []
         for i, layer in enumerate(self.layers):
             hidden, _, new_cache = layer(
-                hidden, bias, cache_kv=(cache["k"][i], cache["v"][i]),
-                write_pos=write_pos, deterministic=deterministic)
+                hidden, bias, (cache["k"][i], cache["v"][i]),
+                write_pos, deterministic)
             new_k.append(new_cache[0])
             new_v.append(new_cache[1])
         cache = {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}

@@ -58,7 +58,8 @@ class MLMHead(nn.Module):
 def _fusion(cfg: MVLTConfig, pooling: bool, dtype) -> FusionEncoder:
     return FusionEncoder(cfg.fusion, add_pooling_layer=pooling, dtype=dtype,
                          cls_token_id=cfg.cls_token_id,
-                         sep_token_id=cfg.sep_token_id, name="fusion")
+                         sep_token_id=cfg.sep_token_id,
+                         remat=cfg.remat_fusion, name="fusion")
 
 
 class VQAModel(nn.Module):
