@@ -57,13 +57,49 @@ def measure(batch: int, dtype, iters: int = 20, warmup: int = 1) -> float:
     return batch * iters / dt
 
 
+def measure_caption_decode(batch: int = 8, num_beams: int = 3,
+                           max_length: int = 32) -> float:
+    """Report-gen decode throughput (tokens/sec) at beam=3 — the second
+    BASELINE.json metric.  Flagship backbone, KV-cached beam search."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mvlt_tpu.flagship import flagship_vqa_config, zeros_init
+    from mvlt_tpu.models.generation import GenerationSpec, generate
+    from mvlt_tpu.models.heads import CaptionModel
+
+    cfg = dataclasses.replace(flagship_vqa_config(), is_decoder=True,
+                              max_length=max_length)
+    model = CaptionModel(cfg, dtype=jnp.bfloat16)
+    image = jnp.asarray(np.random.default_rng(0).normal(
+        size=(batch, 3, 224, 224)), jnp.float32)
+    caption = jnp.ones((batch, 4), jnp.int32)
+    variables = zeros_init(model, image, caption)
+    spec = GenerationSpec.from_config(cfg, num_beams=num_beams)
+    jfn = jax.jit(lambda v, im: generate(model, v, im, spec)[0])
+    jax.device_get(jfn(variables, image))
+    t0 = time.perf_counter()
+    seqs = jax.device_get(jfn(variables, image))
+    dt = time.perf_counter() - t0
+    return batch * max_length / dt
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu-baseline", action="store_true",
                     help="measure the CPU float32 batch-8 baseline and exit")
+    ap.add_argument("--mode", default="vqa", choices=["vqa", "caption"])
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--iters", type=int, default=None)
     args = ap.parse_args()
+
+    if args.mode == "caption":
+        val = measure_caption_decode(args.batch or 8)
+        print(json.dumps({"metric": "caption_beam3_tokens_per_sec",
+                          "value": round(val, 2), "unit": "tokens/sec",
+                          "vs_baseline": 0.0}))
+        return
 
     if args.cpu_baseline:
         import jax

@@ -92,8 +92,11 @@ def mlm_head_from_torch(sd: Dict[str, np.ndarray], prefix: str) -> Dict:
         bias_key = prefix + "predictions.bias"
     decoder["bias"] = sd[bias_key]
     return {
-        "transform_dense": _dense(sd, prefix + "predictions.transform.dense"),
-        "transform_layernorm": _layernorm(sd, prefix + "predictions.transform.LayerNorm"),
+        "transform": {
+            "transform_dense": _dense(sd, prefix + "predictions.transform.dense"),
+            "transform_layernorm": _layernorm(
+                sd, prefix + "predictions.transform.LayerNorm"),
+        },
         "decoder": decoder,
     }
 
@@ -153,6 +156,79 @@ def swin_from_torch(sd: Dict[str, np.ndarray], depths, prefix: str = "") -> Dict
                 "reduction": _dense_nobias(sd, f"{prefix}layers.{i}.downsample.reduction"),
             }
     return params
+
+
+# ---------------------------------------------------------------------------
+# Full reference task checkpoints (MVLBertForX state dicts)
+# ---------------------------------------------------------------------------
+
+def _conv_layer_from_torch(sd: Dict[str, np.ndarray], conv: str, depths=None,
+                           layers=None) -> Dict:
+    """Reference ``Conv_layer`` subtree (``conv.conv.0.<backbone>`` +
+    ``conv.resnet_fc``, modules/model.py:186-236) → our VisualAdapter."""
+    out: Dict = {}
+    stats = None
+    if conv.lower() in ("swin", "swintransformer"):
+        out["backbone"] = swin_from_torch(sd, depths, prefix="conv.conv.0.")
+    elif conv in ("resnet101", "resnet50"):
+        variables = resnet_from_torchvision(sd, layers, prefix="conv.conv.0.")
+        out["backbone"] = variables["params"]
+        stats = {"backbone": variables["batch_stats"]}
+    if "conv.resnet_fc.weight" in sd:
+        out["resnet_fc"] = _dense(sd, "conv.resnet_fc")
+    return out, stats
+
+
+def _task_common(sd: Dict[str, np.ndarray], num_layers: int, conv: str,
+                 depths=None, layers=None) -> Dict:
+    conv_params, stats = _conv_layer_from_torch(sd, conv, depths, layers)
+    params = {"conv": conv_params,
+              "fusion": fusion_from_torch(sd, num_layers, prefix="MVLBert.")}
+    variables = {"params": params}
+    if stats:
+        variables["batch_stats"] = {"conv": stats}
+    return variables
+
+
+def vqa_from_torch(sd, num_layers=12, conv="swin", depths=(2, 2, 18, 2),
+                   layers=(3, 4, 23, 3)) -> Dict:
+    """Reference ``MVLBertForVQA`` state dict → our VQAModel variables.
+    Head: ``final_mlp`` Sequential(Dropout, Linear) → final_mlp.1
+    (model.py:313-321)."""
+    v = _task_common(sd, num_layers, conv, depths, layers)
+    v["params"]["final_mlp"] = _dense(sd, "final_mlp.1")
+    return v
+
+
+def pretrain_from_torch(sd, num_layers=12, conv="swin", depths=(2, 2, 18, 2),
+                        layers=(3, 4, 23, 3)) -> Dict:
+    """Reference ``MVLBertForPretraining`` (model.py:352-363)."""
+    v = _task_common(sd, num_layers, conv, depths, layers)
+    v["params"]["mlm_head_seq2seq"] = mlm_head_from_torch(
+        sd, "MLM_head_seq2seq.")
+    v["params"]["mlm_head_bidir"] = mlm_head_from_torch(sd, "MLM_head_bidir.")
+    v["params"]["itm_mlp"] = _dense(sd, "ITM_mlp")
+    return v
+
+
+def retrieval_from_torch(sd, num_layers=12, conv="swin",
+                         depths=(2, 2, 18, 2), layers=(3, 4, 23, 3)) -> Dict:
+    """Reference ``MVLBertForRetrieval``: final_mlp = Sequential(transform,
+    Linear) (model.py:434-440)."""
+    v = _task_common(sd, num_layers, conv, depths, layers)
+    v["params"]["final_transform"] = head_transform_from_torch(
+        sd, "final_mlp.0.")
+    v["params"]["final_linear"] = _dense(sd, "final_mlp.1")
+    return v
+
+
+def caption_from_torch(sd, num_layers=12, conv="swin", depths=(2, 2, 18, 2),
+                       layers=(3, 4, 23, 3)) -> Dict:
+    """Reference ``MVLBertForImageCaption`` (model.py:479-489)."""
+    v = _task_common(sd, num_layers, conv, depths, layers)
+    v["params"]["mlm_head_seq2seq"] = mlm_head_from_torch(
+        sd, "MLM_head_seq2seq.")
+    return v
 
 
 # ---------------------------------------------------------------------------

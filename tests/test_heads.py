@@ -124,7 +124,8 @@ def test_mlm_head_parity_vs_hf():
         expected = head(torch.tensor(x)).numpy()
 
     sd = convert.state_dict_to_numpy(head.state_dict())
-    params = convert.mlm_head_from_torch(sd, prefix="")
+    converted = convert.mlm_head_from_torch(sd, prefix="")
+    params = {**converted["transform"], "decoder": converted["decoder"]}
     ours = MLMHead(hidden_size=32, vocab_size=50)
     out = ours.apply({"params": {"transform": {
         "transform_dense": params["transform_dense"],
