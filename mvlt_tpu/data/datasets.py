@@ -80,6 +80,7 @@ class ImageFolderSource:
                 items = [tuple(x) for x in json.load(f)]
             return ImageFolderSource(items)
         items = []
+        skipped = 0
         with open(os.path.join(base, "captions.txt")) as f:
             for line in f:
                 parts = line.strip().split("\t", 1)
@@ -87,8 +88,16 @@ class ImageFolderSource:
                     continue
                 name, caption = parts
                 path = os.path.join(base, "images", name + ".jpg")
+                # validity check with logged skip — the reference's only
+                # fault tolerance (run_pretrain_rgc_roco_medicat.py:58-62)
                 if os.path.exists(path):
                     items.append((path, caption))
+                else:
+                    skipped += 1
+        if skipped:
+            import logging
+            logging.getLogger("mvlt.data").warning(
+                "ROCO scan: skipped %d entries with missing images", skipped)
         with open(cache, "w") as f:
             json.dump(items, f)
         return ImageFolderSource(items)

@@ -21,16 +21,21 @@ from mvlt_tpu.metrics.rouge import corpus_rouge_l
 
 
 class CaptionEvaluator:
-    def __init__(self, gt: Sequence[str], pred: Sequence[str],
+    """Single-reference: gt is a list of strings (eval.py).  Multi-reference
+    (the ``eval_coco.py`` variant, keyed dicts with several gold captions
+    per image): pass each gt element as a list of strings."""
+
+    def __init__(self, gt: Sequence, pred: Sequence[str],
                  include_meteor: bool = True):
-        self.gt = list(gt)
+        self.gt = [[g] if isinstance(g, str) else list(g) for g in gt]
         self.pred = list(pred)
         self.include_meteor = include_meteor
         self.eval: Dict[str, float] = {}
         self.img_to_eval: Dict[int, Dict[str, float]] = {}
 
     def evaluate(self) -> Dict[str, float]:
-        gts = {i: [{"caption": g}] for i, g in enumerate(self.gt)}
+        gts = {i: [{"caption": g} for g in gs]
+               for i, gs in enumerate(self.gt)}
         res = {i: [{"caption": p}] for i, p in enumerate(self.pred)}
         gts = ptb_tokenize_corpus(gts)
         res = ptb_tokenize_corpus(res)
