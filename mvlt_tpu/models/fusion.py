@@ -76,6 +76,9 @@ class SelfAttention(nn.Module):
         def heads(x):
             return x.reshape(B, S, nH, Dh).transpose(0, 2, 1, 3)
 
+        # NOTE: measured on v5e — fusing q/k/v into one (H, 3H) matmul is
+        # throughput-neutral (XLA already schedules these well), so the
+        # simple HF-layout three-dense form stays.
         dense = lambda name: nn.Dense(H, kernel_init=normal_init(cfg.initializer_range),
                                       dtype=self.dtype, name=name)
         q = heads(dense("query")(hidden))
