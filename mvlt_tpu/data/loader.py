@@ -90,3 +90,32 @@ class DataLoader:
                 yield batch
         finally:
             stop.set()
+
+
+def device_prefetch(iterator, *, size: int = 2, sharding=None,
+                    transform=None):
+    """Keep ``size`` batches resident on device ahead of the consumer so
+    host->HBM copies overlap the previous step's compute (replaces the
+    reference's pinned-memory DataLoader behavior on the TPU side).
+
+    ``transform`` (optional) maps the host batch (e.g. drop string fields)
+    before the copy; ``sharding`` is passed to ``jax.device_put``.
+    """
+    import collections
+
+    import jax
+
+    def put(batch):
+        if transform is not None:
+            batch = transform(batch)
+        if sharding is not None:
+            return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+        return jax.tree.map(jax.device_put, batch)
+
+    queue_: "collections.deque" = collections.deque()
+    for batch in iterator:
+        queue_.append(put(batch))
+        if len(queue_) >= size:
+            yield queue_.popleft()
+    while queue_:
+        yield queue_.popleft()

@@ -31,8 +31,7 @@ def train_caption(runner: TaskRunner, train_ds, test_ds=None,
     rng = jax.random.PRNGKey(tc.seed)
     evals = []
     for epoch in range(epochs):
-        for batch in loader.epoch(epoch):
-            b = step.shard_batch(device_batch(batch))
+        for b in step.prefetch(loader.epoch(epoch)):
             runner.state, metrics = step(runner.state, b, rng)
             runner.log_step(metrics, samples=tc.batch_size)
         if (epoch + 1) % tc.checkpoint_every_epochs == 0:

@@ -31,13 +31,12 @@ def train_pretrain(runner: TaskRunner, train_ds,
     flip_rng = jax.random.PRNGKey(tc.seed + 1)
     n_seq2seq = 0
     for epoch in range(epochs):
-        for i, batch in enumerate(loader.epoch(epoch)):
+        prefetched = steps[False].prefetch(loader.epoch(epoch))
+        for i, b in enumerate(prefetched):
             mode = seq2seq_coin_flip(
                 jax.random.fold_in(flip_rng, epoch * 1_000_000 + i))
             n_seq2seq += int(mode)
-            step = steps[mode]
-            b = step.shard_batch(device_batch(batch))
-            runner.state, metrics = step(runner.state, b, rng)
+            runner.state, metrics = steps[mode](runner.state, b, rng)
             runner.log_step(metrics, samples=tc.batch_size)
         runner.logger.info("epoch %d done (seq2seq batches so far: %d)",
                            epoch, n_seq2seq)

@@ -27,11 +27,13 @@ def train_retrieval(runner: TaskRunner, train_ds,
                         seed=tc.seed, process_index=jax.process_index(),
                         process_count=jax.process_count())
     rng = jax.random.PRNGKey(tc.seed)
-    for epoch in range(epochs):
+    def merged_batches(epoch):
         for batch in loader.epoch(epoch):
-            merged = {k: np.concatenate([batch["pos"][k], batch["neg"][k]])
-                      for k in ("image", "caption", "label")}
-            b = step.shard_batch(device_batch(merged))
+            yield {k: np.concatenate([batch["pos"][k], batch["neg"][k]])
+                   for k in ("image", "caption", "label")}
+
+    for epoch in range(epochs):
+        for b in step.prefetch(merged_batches(epoch)):
             runner.state, metrics = step(runner.state, b, rng)
             runner.log_step(metrics, samples=2 * tc.batch_size)
         if (epoch + 1) % tc.checkpoint_every_epochs == 0:

@@ -64,8 +64,7 @@ def train_vqa(runner: TaskRunner, train_ds, valid_ds=None, test_ds=None,
     rng = jax.random.PRNGKey(tc.seed)
     best = {"valid_acc": -1.0, "epoch": -1}
     for epoch in range(epochs):
-        for batch in loader.epoch(epoch):
-            b = step.shard_batch(device_batch(batch))
+        for b in step.prefetch(loader.epoch(epoch)):
             runner.state, metrics = step(runner.state, b, rng)
             runner.log_step(metrics, samples=tc.batch_size)
         if valid_ds is not None:

@@ -66,13 +66,29 @@ def make_train_step(loss_fn: Callable[[Any, Any, Batch, jax.Array], Any],
 
     dp = mesh.shape.get("data", 1)
 
-    def shard_batch(batch: Batch) -> Batch:
+    def _validate(batch: Batch) -> Batch:
+        import numpy as np
+        out = {}
         for k, v in batch.items():
+            if not (hasattr(v, "shape") or np.isscalar(v)):
+                continue  # drop string/list fields
             if hasattr(v, "shape") and v.ndim and v.shape[0] % dp != 0:
                 raise ValueError(
                     f"batch['{k}'] leading dim {v.shape[0]} not divisible by "
                     f"data-parallel size {dp}; pick batch_size as a multiple")
-        return jax.tree.map(lambda x: jax.device_put(x, data), batch)
+            out[k] = v
+        return out
+
+    def shard_batch(batch: Batch) -> Batch:
+        return jax.tree.map(lambda x: jax.device_put(x, data),
+                            _validate(batch))
+
+    def prefetch(iterator, size: int = 2):
+        """Wrap a host batch iterator with device prefetch (copies overlap
+        the previous step's compute)."""
+        from mvlt_tpu.data.loader import device_prefetch
+        return device_prefetch(iterator, size=size, sharding=data,
+                               transform=_validate)
 
     jitted = jax.jit(
         step,
@@ -83,6 +99,7 @@ def make_train_step(loss_fn: Callable[[Any, Any, Batch, jax.Array], Any],
         donate_argnums=(0,) if donate else (),
     )
     jitted.shard_batch = shard_batch
+    jitted.prefetch = prefetch
     return jitted
 
 
