@@ -52,7 +52,20 @@ def _ptb_tokenize_line(text: str) -> List[str]:
 
 
 def ptb_tokenize(text: str) -> str:
-    """Tokenize one caption and drop the reference's punctuation list."""
+    """Tokenize one caption and drop the reference's punctuation list.
+    Uses the native C++ tokenizer (csrc/ptb.cc) when built; byte-exact
+    Python fallback otherwise."""
+    try:
+        from mvlt_tpu.text.native import ptb_tokenize_native
+        native = ptb_tokenize_native(text)
+        if native is not None:
+            return native
+    except Exception:
+        pass
+    return ptb_tokenize_py(text)
+
+
+def ptb_tokenize_py(text: str) -> str:
     return " ".join(w for w in _ptb_tokenize_line(text)
                     if w not in _PUNC_SET and w.upper() not in _PUNC_SET)
 

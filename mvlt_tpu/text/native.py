@@ -32,7 +32,28 @@ def load_library(path: str = _LIB_PATH) -> Optional[ctypes.CDLL]:
     lib.mvlt_tokenizer_encode.argtypes = [
         ctypes.c_void_p, ctypes.c_char_p,
         ctypes.POINTER(ctypes.c_int), ctypes.c_int]
+    lib.mvlt_ptb_tokenize.restype = ctypes.c_int
+    lib.mvlt_ptb_tokenize.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                      ctypes.c_int]
     return lib
+
+
+_PTB_LIB = None
+
+
+def ptb_tokenize_native(text: str) -> Optional[str]:
+    """Native PTB tokenization (csrc/ptb.cc); None if unavailable or the
+    input is non-ASCII (caller falls back to the Python port)."""
+    global _PTB_LIB
+    if _PTB_LIB is None:
+        _PTB_LIB = load_library() or False
+    if _PTB_LIB is False or not text.isascii():
+        return None
+    buf = ctypes.create_string_buffer(max(4096, len(text) * 3 + 16))
+    n = _PTB_LIB.mvlt_ptb_tokenize(text.encode(), buf, len(buf))
+    if n < 0:
+        return None
+    return buf.value.decode()
 
 
 class NativeWordPiece:

@@ -60,3 +60,31 @@ def test_non_ascii_falls_back(tok):
 
 def test_native_vocab_size(tok):
     assert tok._native.vocab_size() == len(tok)
+
+
+def test_ptb_native_matches_python():
+    from mvlt_tpu.metrics.ptb import ptb_tokenize_py
+    from mvlt_tpu.text.native import ptb_tokenize_native
+
+    cases = [
+        "The heart is normal.",
+        "no acute disease , stable .",
+        "it's (mildly) enlarged",
+        "don't worry; fine!",
+        "values: 1,234 and 5,6 and x,y -- done...",
+        'he said "stop" and left',
+        "patients' records can't be found; we'll re-check",
+        "q.r.s. wave at 3:45 vs 12:30:15",
+        "",
+        "a-b c - d e--f",
+    ]
+    import numpy as np
+    rng = np.random.default_rng(0)
+    words = ["lung", "heart", "it's", "don't", "x-ray", "(left)", "5,000",
+             "3:45", "...", "--", "stable.", '"quote"', "clear,", "end"]
+    for _ in range(60):
+        cases.append(" ".join(rng.choice(words, rng.integers(1, 10))))
+    for s in cases:
+        got = ptb_tokenize_native(s)
+        assert got is not None
+        assert got == ptb_tokenize_py(s), (s, got, ptb_tokenize_py(s))
