@@ -120,11 +120,11 @@ class WindowAttention(nn.Module):
         Dh = self.dim // nH
         scale = self.qk_scale or Dh ** -0.5
 
-        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias,
-                       kernel_init=trunc_normal_init(0.02),
-                       dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(B_, N, 3, nH, Dh).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]                      # (B_, nH, N, Dh)
+        qkv_dense = nn.Dense(self.dim * 3, use_bias=self.qkv_bias,
+                             kernel_init=trunc_normal_init(0.02),
+                             dtype=self.dtype, name="qkv")
+        proj_dense = nn.Dense(self.dim, kernel_init=trunc_normal_init(0.02),
+                              dtype=self.dtype, name="proj")
 
         table = self.param(
             "relative_position_bias_table",
@@ -141,12 +141,37 @@ class WindowAttention(nn.Module):
 
         impl = self.attn_impl
         if impl == "auto":
-            # Measured on v5e (batch 64, Swin-S): the fused Pallas kernel
-            # wins in isolation (stage-1 core 3.7ms -> <0.5ms) but loses
-            # end-to-end because XLA fuses the einsum attention into the
-            # surrounding ops; whole-model XLA 49.7ms vs pallas 51-57ms.
-            # Default to XLA; 'pallas' stays available per-module.
-            impl = "xla"
+            # Measured on v5e (batch 64, Swin-S, PERF.md): the block-fused
+            # kernel (qkv proj + attention + out proj in VMEM) runs the
+            # backbone 56 -> 39 ms (+43%). The narrower attention-only
+            # kernel loses to XLA's fusion and stays opt-in ('pallas').
+            # Attention dropout can't run inside the kernel -> XLA then.
+            drop_active = self.attn_drop > 0.0 and not deterministic
+            impl = ("pallas_block" if jax.default_backend() == "tpu"
+                    and not drop_active else "xla")
+
+        if impl in ("pallas_block", "interpret_block") \
+                and not self.is_initializing():
+            # widest fusion: qkv proj + attention + out proj in one kernel;
+            # param values pulled from the (already created) Dense scopes
+            from mvlt_tpu.ops.pallas_attn import window_block_attention
+            wqkv = self.get_variable("params", "qkv")["kernel"].astype(
+                self.dtype or x.dtype)
+            bqkv = self.get_variable("params", "qkv")["bias"].astype(
+                self.dtype or x.dtype)
+            wproj = self.get_variable("params", "proj")["kernel"].astype(
+                self.dtype or x.dtype)
+            bproj = self.get_variable("params", "proj")["bias"].astype(
+                self.dtype or x.dtype)
+            out = window_block_attention(
+                x.astype(wqkv.dtype), wqkv, bqkv, wproj, bproj, combined,
+                scale, nH, interpret=(impl == "interpret_block"))
+            return nn.Dropout(self.proj_drop)(out,
+                                              deterministic=deterministic)
+
+        qkv = qkv_dense(x)
+        qkv = qkv.reshape(B_, N, 3, nH, Dh).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]                      # (B_, nH, N, Dh)
 
         if impl in ("pallas", "interpret"):
             from mvlt_tpu.ops.pallas_attn import window_attention
@@ -164,8 +189,7 @@ class WindowAttention(nn.Module):
             ctx = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(B_, N, C)
 
-        out = nn.Dense(self.dim, kernel_init=trunc_normal_init(0.02),
-                       dtype=self.dtype, name="proj")(ctx)
+        out = proj_dense(ctx)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out
 

@@ -155,3 +155,137 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     <=250 tokens and matmul-dominated; XLA already runs them at ~40% MXU —
     returns None to signal the XLA path)."""
     return None
+
+
+# ---------------------------------------------------------------------------
+# wider fusion: qkv projection + window attention + output projection
+# ---------------------------------------------------------------------------
+
+def _block_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
+                  o_ref, ctx_ref, *, scale: float, num_heads: int):
+    """Per program: G windows. x (G, N, C) -> qkv matmul -> per-window
+    attention -> proj -> o (G, N, C). qkv/scores/ctx never leave VMEM."""
+    G, N, C = x_ref.shape
+    Gb = bias_ref.shape[0]
+    Dh = C // num_heads
+
+    # per-window matmuls: a (G*N, C) collapse is not sublane-aligned for
+    # N=49, Mosaic rejects the shape cast — loop windows instead
+    for g in range(G):
+        rows = jax.lax.dot_general(
+            x_ref[g], wqkv_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        rows = (rows + bqkv_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
+        for h in range(num_heads):
+            q = rows[:, h * Dh:(h + 1) * Dh].astype(jnp.float32) * scale
+            k = rows[:, C + h * Dh:C + (h + 1) * Dh].astype(jnp.float32)
+            v = rows[:, 2 * C + h * Dh:2 * C + (h + 1) * Dh]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s + bias_ref[g % Gb, h]
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            ctx = jax.lax.dot_general(p.astype(v.dtype), v,
+                                      (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            ctx_ref[g, :, h * Dh:(h + 1) * Dh] = ctx.astype(ctx_ref.dtype)
+
+    for g in range(G):
+        out = jax.lax.dot_general(
+            ctx_ref[g], wproj_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out = out + bproj_ref[:].astype(jnp.float32)
+        o_ref[g] = out.astype(o_ref.dtype)
+
+
+def _block_forward(x, wqkv, bqkv, wproj, bproj, bias, *, scale, num_heads,
+                   group, interpret):
+    BW, N, C = x.shape
+    nWb = bias.shape[0]
+    G = group
+    while BW % G != 0 or (nWb > 1 and nWb % G != 0):
+        G //= 2
+    G = max(G, 1)
+
+    if nWb > 1:
+        B = BW // nWb
+        grid = (nWb // G, B)
+        x_map = lambda i_w, i_b: (i_b * (nWb // G) + i_w, 0, 0)
+        const2 = lambda i_w, i_b: (0, 0)
+        const1 = lambda i_w, i_b: (0,)
+        bias_spec = pl.BlockSpec((G, num_heads, N, N),
+                                 lambda i_w, i_b: (i_w, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        grid = (BW // G,)
+        x_map = lambda i: (i, 0, 0)
+        const2 = lambda i: (0, 0)
+        const1 = lambda i: (0,)
+        bias_spec = pl.BlockSpec((1, num_heads, N, N), lambda i: (0, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+
+    x_spec = pl.BlockSpec((G, N, C), x_map, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_block_kernel, scale=scale, num_heads=num_heads),
+        grid=grid,
+        in_specs=[
+            x_spec,
+            pl.BlockSpec(wqkv.shape, const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(bqkv.shape, const1, memory_space=pltpu.VMEM),
+            pl.BlockSpec(wproj.shape, const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(bproj.shape, const1, memory_space=pltpu.VMEM),
+            bias_spec,
+        ],
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[pltpu.VMEM((G, N, C), x.dtype)],
+        interpret=interpret,
+    )(x, wqkv, bqkv, wproj, bproj, bias)
+
+
+def _block_xla_ref(x, wqkv, bqkv, wproj, bproj, bias, scale, num_heads):
+    BW, N, C = x.shape
+    Dh = C // num_heads
+    nWb = bias.shape[0]
+    qkv = (x.reshape(-1, C) @ wqkv + bqkv).reshape(BW, N, 3, num_heads, Dh)
+    q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+    s = jnp.einsum("whnd,whmd->whnm", q.astype(jnp.float32) * scale,
+                   k.astype(jnp.float32))
+    b = bias[jnp.arange(BW) % nWb] if nWb > 1 else bias[0][None]
+    p = jax.nn.softmax(s + b, axis=-1)
+    ctx = jnp.einsum("whnm,whmd->whnd", p.astype(v.dtype), v)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(-1, C)
+    return (ctx @ wproj + bproj).reshape(BW, N, C).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def window_block_attention(x, wqkv, bqkv, wproj, bproj, bias,
+                           scale: float, num_heads: int, group: int = 8,
+                           interpret: bool = False):
+    """Fused LN-free Swin attention block: qkv proj + window attention +
+    output proj in one kernel. x: (BW, N, C) post-LN windows."""
+    return _block_forward(x, wqkv, bqkv, wproj, bproj, bias, scale=scale,
+                          num_heads=num_heads, group=group,
+                          interpret=interpret)
+
+
+def _block_fwd(x, wqkv, bqkv, wproj, bproj, bias, scale, num_heads, group,
+               interpret):
+    out = _block_forward(x, wqkv, bqkv, wproj, bproj, bias, scale=scale,
+                         num_heads=num_heads, group=group,
+                         interpret=interpret)
+    return out, (x, wqkv, bqkv, wproj, bproj, bias)
+
+
+def _block_bwd(scale, num_heads, group, interpret, res, g):
+    x, wqkv, bqkv, wproj, bproj, bias = res
+    def ref(x, wqkv, bqkv, wproj, bproj, bias):
+        return _block_xla_ref(x, wqkv, bqkv, wproj, bproj, bias, scale,
+                              num_heads)
+
+    _, vjp = jax.vjp(ref, x, wqkv, bqkv, wproj, bproj, bias)
+    return vjp(g)
+
+
+window_block_attention.defvjp(_block_fwd, _block_bwd)

@@ -15,6 +15,10 @@ def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--rgc_index", default=None,
                    help="RGC {split}_img_idx2path.pkl (train path)")
+    p.add_argument("--iu_xray_root", default=None,
+                   help="IU X-Ray root with images/ + annotation.json "
+                        "(run_retrieval_iuxray.py variant; implies "
+                        "--swap image)")
     p.add_argument("--model_name", default="./checkpoints/retrieval")
     p.add_argument("--pretrained", default=None)
     p.add_argument("--conv", default="swin")
@@ -63,6 +67,14 @@ def main():
         src_train = SyntheticSource(n=32, image_size=32 if args.tiny else 224)
         src_test = SyntheticSource(n=8, image_size=32 if args.tiny else 224,
                                    seed=1)
+    elif args.iu_xray_root:
+        from mvlt_tpu.data.datasets import AnnotationSource
+        import os as _os
+        args.swap = "image"  # run_retrieval_iuxray.py:130-137
+        mk = lambda split: AnnotationSource(
+            _os.path.join(args.iu_xray_root, "images"),
+            _os.path.join(args.iu_xray_root, "annotation.json"), split)
+        src_train, src_test = mk("train"), mk("test")
     else:
         src_train = PickleSource(args.rgc_index)
         src_test = PickleSource(args.rgc_index.replace("train", "test"))

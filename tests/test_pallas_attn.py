@@ -63,3 +63,52 @@ def test_swin_interpret_matches_xla_impl():
         {"params": params}, img)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_block_kernel_matches_xla():
+    from mvlt_tpu.ops.pallas_attn import _block_xla_ref, window_block_attention
+
+    BW, N, C, nH, nWb = 16, 49, 32, 4, 4
+    x = _rand((BW, N, C), 10)
+    wqkv = _rand((C, 3 * C), 11) * 0.2
+    bqkv = _rand((3 * C,), 12) * 0.1
+    wproj = _rand((C, C), 13) * 0.2
+    bproj = _rand((C,), 14) * 0.1
+    bias = _rand((nWb, nH, N, N), 15) * 0.1
+    scale = (C // nH) ** -0.5
+    got = window_block_attention(x, wqkv, bqkv, wproj, bproj, bias,
+                                 scale, nH, interpret=True)
+    want = _block_xla_ref(x, wqkv, bqkv, wproj, bproj, bias, scale, nH)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_block_kernel_grad_matches_xla():
+    from mvlt_tpu.ops.pallas_attn import _block_xla_ref, window_block_attention
+
+    BW, N, C, nH, nWb = 4, 16, 8, 2, 2
+    args = (_rand((BW, N, C), 0), _rand((C, 3 * C), 1) * 0.2,
+            _rand((3 * C,), 2) * 0.1, _rand((C, C), 3) * 0.2,
+            _rand((C,), 4) * 0.1, _rand((nWb, nH, N, N), 5) * 0.1)
+    scale = (C // nH) ** -0.5
+    g1 = jax.grad(lambda *a: window_block_attention(
+        *a, scale, nH, interpret=True).sum(), argnums=tuple(range(6)))(*args)
+    g2 = jax.grad(lambda *a: _block_xla_ref(*a, scale, nH).sum(),
+                  argnums=tuple(range(6)))(*args)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_swin_block_impl_matches_xla_impl():
+    cfg = SwinConfig(img_size=32, patch_size=4, embed_dim=8, depths=(2, 2),
+                     num_heads=(2, 4), window_size=4, drop_path_rate=0.0)
+    img = jnp.asarray(np.random.default_rng(3).normal(
+        size=(2, 3, 32, 32)).astype(np.float32))
+    xla_model = SwinTransformer(cfg, attn_impl="xla")
+    params = xla_model.init(jax.random.PRNGKey(0), img)["params"]
+    want = xla_model.apply({"params": params}, img)
+    got = SwinTransformer(cfg, attn_impl="interpret_block").apply(
+        {"params": params}, img)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
