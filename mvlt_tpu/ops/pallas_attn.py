@@ -261,7 +261,7 @@ def _block_xla_ref(x, wqkv, bqkv, wproj, bproj, bias, scale, num_heads):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
 def window_block_attention(x, wqkv, bqkv, wproj, bproj, bias,
-                           scale: float, num_heads: int, group: int = 8,
+                           scale: float, num_heads: int, group: int = 16,
                            interpret: bool = False):
     """Fused LN-free Swin attention block: qkv proj + window attention +
     output proj in one kernel. x: (BW, N, C) post-LN windows."""
