@@ -223,6 +223,17 @@ class SwinBlock(nn.Module):
             # (reference :302-305)
             window, shift = min(self.input_resolution), 0
 
+        # Widest fusion: deterministic inference runs the WHOLE block
+        # (LN1 -> attn -> +res -> LN2 -> MLP -> +res) in one Pallas kernel
+        # (DropPath/dropout are identity when deterministic).
+        impl = self.attn_impl
+        full_ok = not self.is_initializing() and deterministic and (
+            impl == "interpret_full"
+            or (impl == "auto" and jax.default_backend() == "tpu"))
+        if full_ok:
+            return self._fused_full_block(x, window, shift,
+                                          interpret=(impl == "interpret_full"))
+
         shortcut = x
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         x = x.reshape(B, H, W, C)
@@ -252,6 +263,55 @@ class SwinBlock(nn.Module):
         y = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.drop,
                 dtype=self.dtype, name="mlp")(y, deterministic)
         return x + DropPath(self.drop_path, name="drop_path2")(y, deterministic)
+
+    def _fused_full_block(self, x, window: int, shift: int,
+                          interpret: bool) -> jnp.ndarray:
+        """Whole-block Pallas path (deterministic). Partition/roll stay in
+        XLA; everything between lives in VMEM."""
+        from mvlt_tpu.ops.pallas_attn import swin_full_block
+
+        H, W = self.input_resolution
+        B, L, C = x.shape
+        nH = self.num_heads
+        scale = self.qk_scale or (C // nH) ** -0.5
+        cdt = self.dtype or x.dtype
+
+        gv = lambda name: self.get_variable("params", name)
+        attn_p = gv("attn")
+        table = attn_p["relative_position_bias_table"]
+        idx = relative_position_index(window, window)
+        N = window * window
+        rel = table[idx.reshape(-1)].reshape(N, N, nH).transpose(2, 0, 1)
+        combined = rel[None].astype(jnp.float32)
+        if shift > 0:
+            combined = combined + jnp.asarray(
+                shifted_window_mask(H, W, window, shift))[:, None]
+
+        params = (
+            gv("norm1")["scale"].astype(jnp.float32),
+            gv("norm1")["bias"].astype(jnp.float32),
+            attn_p["qkv"]["kernel"].astype(cdt),
+            attn_p["qkv"]["bias"].astype(cdt),
+            attn_p["proj"]["kernel"].astype(cdt),
+            attn_p["proj"]["bias"].astype(cdt),
+            gv("norm2")["scale"].astype(jnp.float32),
+            gv("norm2")["bias"].astype(jnp.float32),
+            gv("mlp")["fc1"]["kernel"].astype(cdt),
+            gv("mlp")["fc1"]["bias"].astype(cdt),
+            gv("mlp")["fc2"]["kernel"].astype(cdt),
+            gv("mlp")["fc2"]["bias"].astype(cdt),
+        )
+
+        xm = x.reshape(B, H, W, C)
+        if shift > 0:
+            xm = jnp.roll(xm, shift=(-shift, -shift), axis=(1, 2))
+        windows = window_partition(xm, window).astype(cdt)
+        out = swin_full_block(windows, params, combined, scale, nH,
+                              interpret=interpret)
+        xm = window_reverse(out, window, H, W)
+        if shift > 0:
+            xm = jnp.roll(xm, shift=(shift, shift), axis=(1, 2))
+        return xm.reshape(B, H * W, C)
 
 
 class PatchMerging(nn.Module):

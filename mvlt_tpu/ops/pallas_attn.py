@@ -270,6 +270,167 @@ def window_block_attention(x, wqkv, bqkv, wproj, bproj, bias,
                           interpret=interpret)
 
 
+# ---------------------------------------------------------------------------
+# widest fusion: the whole Swin block (LN1 -> attn -> +res -> LN2 -> MLP ->
+# +res), deterministic path (DropPath/dropout are identity at inference)
+# ---------------------------------------------------------------------------
+
+def _erf_approx(x):
+    """Abramowitz & Stegun 7.1.26 rational erf (max abs err 1.5e-7):
+    Mosaic lowers neither erf nor erfc, but exp it has."""
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _ln(xf, scale, bias, eps=1e-5):
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    return (xf - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _full_kernel(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref,
+                 bproj_ref, ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref,
+                 b2_ref, bias_ref, o_ref, ctx_ref, *, scale: float,
+                 num_heads: int):
+    G, N, C = x_ref.shape
+    Gb = bias_ref.shape[0]
+    Dh = C // num_heads
+
+    for g in range(G):
+        xf = x_ref[g].astype(jnp.float32)                    # (N, C)
+        h = _ln(xf, ln1s_ref[:], ln1b_ref[:])
+        rows = jax.lax.dot_general(
+            h.astype(x_ref.dtype), wqkv_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        rows = (rows + bqkv_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
+        for hh in range(num_heads):
+            q = rows[:, hh * Dh:(hh + 1) * Dh].astype(jnp.float32) * scale
+            k = rows[:, C + hh * Dh:C + (hh + 1) * Dh].astype(jnp.float32)
+            v = rows[:, 2 * C + hh * Dh:2 * C + (hh + 1) * Dh]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s + bias_ref[g % Gb, hh]
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            ctx = jax.lax.dot_general(p.astype(v.dtype), v,
+                                      (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            ctx_ref[g, :, hh * Dh:(hh + 1) * Dh] = ctx.astype(ctx_ref.dtype)
+
+    for g in range(G):
+        xf = x_ref[g].astype(jnp.float32)
+        attn = jax.lax.dot_general(
+            ctx_ref[g], wproj_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        res1 = xf + attn + bproj_ref[:].astype(jnp.float32)
+        h2 = _ln(res1, ln2s_ref[:], ln2b_ref[:])
+        m = jax.lax.dot_general(
+            h2.astype(x_ref.dtype), w1_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m = m + b1_ref[:].astype(jnp.float32)
+        # exact-GELU via the A&S erf approximation (1.5e-7, far below bf16
+        # resolution); jax.nn.gelu's erf/erfc aren't lowerable in Mosaic
+        m = 0.5 * m * (1.0 + _erf_approx(m * 0.7071067811865476))
+        mlp = jax.lax.dot_general(
+            m.astype(x_ref.dtype), w2_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[g] = (res1 + mlp
+                    + b2_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _full_forward(x, params, bias, *, scale, num_heads, group, interpret):
+    """params: tuple (ln1s, ln1b, wqkv, bqkv, wproj, bproj, ln2s, ln2b,
+    w1, b1, w2, b2)."""
+    BW, N, C = x.shape
+    nWb = bias.shape[0]
+    G = group
+    while BW % G != 0 or (nWb > 1 and nWb % G != 0):
+        G //= 2
+    G = max(G, 1)
+
+    if nWb > 1:
+        B = BW // nWb
+        grid = (nWb // G, B)
+        x_map = lambda i_w, i_b: (i_b * (nWb // G) + i_w, 0, 0)
+        nargs = 2
+        bias_spec = pl.BlockSpec((G, num_heads, N, N),
+                                 lambda i_w, i_b: (i_w, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        grid = (BW // G,)
+        x_map = lambda i: (i, 0, 0)
+        nargs = 1
+        bias_spec = pl.BlockSpec((1, num_heads, N, N), lambda i: (0, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+
+    def const_spec(shape):
+        zero = (lambda i_w, i_b: (0,) * len(shape)) if nargs == 2 else \
+            (lambda i: (0,) * len(shape))
+        return pl.BlockSpec(shape, zero, memory_space=pltpu.VMEM)
+
+    x_spec = pl.BlockSpec((G, N, C), x_map, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_full_kernel, scale=scale, num_heads=num_heads),
+        grid=grid,
+        in_specs=[x_spec] + [const_spec(p.shape) for p in params]
+        + [bias_spec],
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[pltpu.VMEM((G, N, C), x.dtype)],
+        interpret=interpret,
+    )(x, *params, bias)
+
+
+def _full_xla_ref(x, params, bias, scale, num_heads):
+    ln1s, ln1b, wqkv, bqkv, wproj, bproj, ln2s, ln2b, w1, b1, w2, b2 = params
+    xf = x.astype(jnp.float32)
+    h = _ln(xf, ln1s, ln1b).astype(x.dtype)
+    attn = _block_xla_ref(h, wqkv, bqkv, wproj, bproj, bias, scale,
+                          num_heads).astype(jnp.float32)
+    res1 = xf + attn
+    h2 = _ln(res1, ln2s, ln2b).astype(x.dtype)
+    m = jax.nn.gelu(
+        (h2.reshape(-1, x.shape[-1]) @ w1).astype(jnp.float32)
+        + b1, approximate=False)
+    mlp = (m.astype(x.dtype) @ w2).astype(jnp.float32) + b2
+    return (res1 + mlp.reshape(res1.shape)).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def swin_full_block(x, params, bias, scale: float, num_heads: int,
+                    group: int = 16, interpret: bool = False):
+    """Whole Swin block fused (deterministic path). x: (BW, N, C) RAW
+    windows (pre-LN); params as in :func:`_full_forward`."""
+    return _full_forward(x, tuple(params), bias, scale=scale,
+                         num_heads=num_heads, group=group,
+                         interpret=interpret)
+
+
+def _full_fwd(x, params, bias, scale, num_heads, group, interpret):
+    out = _full_forward(x, tuple(params), bias, scale=scale,
+                        num_heads=num_heads, group=group, interpret=interpret)
+    return out, (x, tuple(params), bias)
+
+
+def _full_bwd(scale, num_heads, group, interpret, res, g):
+    x, params, bias = res
+
+    def ref(x, params, bias):
+        return _full_xla_ref(x, params, bias, scale, num_heads)
+
+    _, vjp = jax.vjp(ref, x, params, bias)
+    return vjp(g)
+
+
+swin_full_block.defvjp(_full_fwd, _full_bwd)
+
+
 def _block_fwd(x, wqkv, bqkv, wproj, bproj, bias, scale, num_heads, group,
                interpret):
     out = _block_forward(x, wqkv, bqkv, wproj, bproj, bias, scale=scale,

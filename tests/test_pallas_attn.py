@@ -112,3 +112,17 @@ def test_swin_block_impl_matches_xla_impl():
         {"params": params}, img)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_swin_full_block_impl_matches_xla_impl():
+    cfg = SwinConfig(img_size=32, patch_size=4, embed_dim=8, depths=(2, 2),
+                     num_heads=(2, 4), window_size=4, drop_path_rate=0.0)
+    img = jnp.asarray(np.random.default_rng(4).normal(
+        size=(2, 3, 32, 32)).astype(np.float32))
+    xla_model = SwinTransformer(cfg, attn_impl="xla")
+    params = xla_model.init(jax.random.PRNGKey(1), img)["params"]
+    want = xla_model.apply({"params": params}, img)
+    got = SwinTransformer(cfg, attn_impl="interpret_full").apply(
+        {"params": params}, img)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
