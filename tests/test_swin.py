@@ -3,6 +3,8 @@
 ``modules/visual_feature_extractor.py:113-702``; timm/torchvision are not
 installed, so HF transformers is the executable golden reference)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -172,3 +174,33 @@ def test_swin_official_checkpoint_layout_roundtrip(hf_swin_pair):
     assert flat_hf.keys() == flat_official.keys()
     for k in flat_hf:
         np.testing.assert_array_equal(flat_hf[k], flat_official[k])
+
+
+@pytest.mark.skipif(not os.environ.get("MVLT_SLOW_TESTS"),
+                    reason="full-size parity is slow; set MVLT_SLOW_TESTS=1")
+def test_swin_small_full_size_parity_with_hf():
+    """Real Swin-S config (224px, window 7, shift 3, depths 2/2/18/2):
+    numeric parity vs HF SwinModel with random weights."""
+    import torch
+    from transformers import SwinConfig as HFSwinConfig
+    from transformers import SwinModel
+
+    hf_cfg = HFSwinConfig(
+        image_size=224, patch_size=4, num_channels=3, embed_dim=96,
+        depths=[2, 2, 18, 2], num_heads=[3, 6, 12, 24], window_size=7,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        drop_path_rate=0.0, use_absolute_embeddings=False)
+    torch.manual_seed(0)
+    hf = SwinModel(hf_cfg, add_pooling_layer=False).eval()
+
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(1, 3, 224, 224)).astype(np.float32)
+    with torch.no_grad():
+        want = hf(torch.from_numpy(img)).last_hidden_state.numpy()
+
+    cfg = swin_small()
+    params = convert.swin_from_hf(
+        convert.state_dict_to_numpy(hf.state_dict()), cfg.depths)
+    got = SwinTransformer(cfg).apply({"params": params}, jnp.asarray(img))
+    assert got.shape == want.shape == (1, 49, 768)
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-4, rtol=1e-3)
