@@ -11,7 +11,7 @@
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 from mvlt_tpu.metrics.bleu import corpus_bleu
 from mvlt_tpu.metrics.cider import corpus_cider

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 from typing import Any, Optional, Tuple
 
-import jax.numpy as jnp
 from flax import linen as nn
 
 from mvlt_tpu.config import ResNetConfig

@@ -37,7 +37,7 @@ import numpy as np
 from flax import linen as nn
 
 from mvlt_tpu.config import SwinConfig
-from mvlt_tpu.ops.layers import DropPath, Mlp, gelu_exact, trunc_normal_init
+from mvlt_tpu.ops.layers import DropPath, Mlp, trunc_normal_init
 
 Dtype = Any
 

@@ -16,7 +16,6 @@ completion; sequences are returned padded to ``max_length``.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -24,7 +23,7 @@ import jax.numpy as jnp
 
 from mvlt_tpu.config import MVLTConfig
 from mvlt_tpu.models import beam as beam_lib
-from mvlt_tpu.models.fusion import FusionEncoder, init_cache
+from mvlt_tpu.models.fusion import init_cache
 
 
 @dataclasses.dataclass(frozen=True)

@@ -12,8 +12,6 @@ keyed PRNG draw (see ``mvlt_tpu.train``), keeping the compiled step static.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -9,7 +9,6 @@ regardless of compute dtype.
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Optional
 

@@ -13,7 +13,7 @@ import numpy as np
 from mvlt_tpu.data.loader import DataLoader
 from mvlt_tpu.metrics.eval_cap import CaptionEvaluator, compute_scores
 from mvlt_tpu.models.generation import GenerationSpec, generate
-from mvlt_tpu.tasks.common import TaskRunner, device_batch
+from mvlt_tpu.tasks.common import TaskRunner
 from mvlt_tpu.train import make_caption_step
 
 

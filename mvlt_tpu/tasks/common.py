@@ -7,14 +7,13 @@ This is the layer the reference hand-rolled separately in every
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Callable, Dict, Iterable, Optional
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mvlt_tpu.config import MeshConfig, MVLTConfig, TrainConfig
+from mvlt_tpu.config import MVLTConfig, TrainConfig
 from mvlt_tpu.parallel import build_mesh
 from mvlt_tpu.train import (create_train_state, make_optimizer,
                             shard_train_state)

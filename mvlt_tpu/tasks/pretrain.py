@@ -11,7 +11,7 @@ from typing import Optional
 import jax
 
 from mvlt_tpu.data.loader import DataLoader
-from mvlt_tpu.tasks.common import TaskRunner, device_batch
+from mvlt_tpu.tasks.common import TaskRunner
 from mvlt_tpu.train import make_pretrain_step, seq2seq_coin_flip
 from mvlt_tpu.utils import checkpoint as ckpt_lib
 

@@ -13,7 +13,7 @@ import numpy as np
 
 from mvlt_tpu.data.loader import DataLoader
 from mvlt_tpu.metrics.retrieval import evaluate_retrieval
-from mvlt_tpu.tasks.common import TaskRunner, device_batch
+from mvlt_tpu.tasks.common import TaskRunner
 from mvlt_tpu.train import make_retrieval_step
 
 

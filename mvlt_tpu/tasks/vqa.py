@@ -14,7 +14,7 @@ import numpy as np
 
 from mvlt_tpu.data.loader import DataLoader
 from mvlt_tpu.metrics.vqa import vqa_accuracy
-from mvlt_tpu.tasks.common import TaskRunner, device_batch
+from mvlt_tpu.tasks.common import TaskRunner
 from mvlt_tpu.train import make_vqa_step
 
 

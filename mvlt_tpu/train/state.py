@@ -15,12 +15,11 @@ from __future__ import annotations
 
 from typing import Any, Callable, Optional
 
-import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
 
-from mvlt_tpu.config import MVLTConfig, TrainConfig
+from mvlt_tpu.config import MVLTConfig
 
 
 class TrainState(struct.PyTreeNode):

@@ -16,7 +16,6 @@ keyed PRNG draw (:func:`seq2seq_coin_flip`).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional
 
 import jax
