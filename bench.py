@@ -85,11 +85,56 @@ def measure_caption_decode(batch: int = 8, num_beams: int = 3,
     return batch * max_length / dt
 
 
+def measure_pretrain_step(batch: int = 32, iters: int = 10) -> float:
+    """Full training-step throughput (fwd+bwd+AdamW), flagship pretrain
+    model at the reference's config of record (Swin-S, batch 32, MLM+ITM,
+    max_length 80)."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mvlt_tpu.config import MeshConfig
+    from mvlt_tpu.flagship import flagship_vqa_config, zeros_init
+    from mvlt_tpu.models.heads import PretrainModel
+    from mvlt_tpu.parallel import build_mesh
+    from mvlt_tpu.train import (create_train_state, make_optimizer,
+                                make_pretrain_step, shard_train_state)
+
+    cfg = dataclasses.replace(flagship_vqa_config(), itm_task=True,
+                              max_length=80)
+    model = PretrainModel(cfg, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    b = {"image": jnp.asarray(rng.normal(size=(batch, 3, 224, 224)),
+                              jnp.float32),
+         "caption_masked": jnp.asarray(rng.integers(1, 30000, (batch, 80)),
+                                       jnp.int32),
+         "caption_label": jnp.asarray(
+             np.where(rng.random((batch, 80)) < 0.15,
+                      rng.integers(1, 30000, (batch, 80)), -100), jnp.int32),
+         "itm_label": jnp.asarray(rng.integers(0, 2, (batch,)), jnp.int32)}
+    variables = zeros_init(model, b["image"], b["caption_masked"],
+                           b["caption_label"], b["itm_label"])
+    mesh = build_mesh(MeshConfig())
+    state, shardings = shard_train_state(
+        create_train_state(model, variables, make_optimizer(cfg)), mesh)
+    step = make_pretrain_step(model, False, mesh, shardings)
+    sb = step.shard_batch(b)
+    state, m = step(state, sb, jax.random.PRNGKey(0))
+    float(jax.device_get(m["loss"]))       # force completion (axon runtime)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, sb, jax.random.PRNGKey(0))
+    float(jax.device_get(m["loss"]))
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu-baseline", action="store_true",
                     help="measure the CPU float32 batch-8 baseline and exit")
-    ap.add_argument("--mode", default="vqa", choices=["vqa", "caption"])
+    ap.add_argument("--mode", default="vqa",
+                    choices=["vqa", "caption", "pretrain"])
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--iters", type=int, default=None)
     args = ap.parse_args()
@@ -98,6 +143,12 @@ def main() -> None:
         val = measure_caption_decode(args.batch or 8)
         print(json.dumps({"metric": "caption_beam3_tokens_per_sec",
                           "value": round(val, 2), "unit": "tokens/sec",
+                          "vs_baseline": 0.0}))
+        return
+    if args.mode == "pretrain":
+        val = measure_pretrain_step(args.batch or 32, args.iters or 10)
+        print(json.dumps({"metric": "pretrain_train_samples_per_sec",
+                          "value": round(val, 2), "unit": "samples/sec",
                           "vs_baseline": 0.0}))
         return
 

@@ -43,6 +43,12 @@ def make_train_step(loss_fn: Callable[[Any, Any, Batch, jax.Array], Any],
     ``loss_fn(params, extra_variables, batch, rng) -> (loss, (metrics,
     new_extra))``.  With a mesh, inputs are constrained to P('data') on the
     leading axis and the state to its param shardings.
+
+    NOTE: the state argument is DONATED (buffers reused in place). On CPU
+    backends ``shard_train_state``'s device_put can alias the original
+    ``variables`` pytree, so treat those arrays as consumed after the
+    first step (copy with ``jax.tree.map(jnp.array, ...)`` if you need
+    them again — e.g. to build a second state).
     """
 
     def step(state: TrainState, batch: Batch, rng: jax.Array):

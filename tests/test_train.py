@@ -131,3 +131,46 @@ def test_seq2seq_coin_flip_is_keyed_and_balanced():
     assert 16 < sum(flips) < 48          # ~half
     again = [seq2seq_coin_flip(jax.random.PRNGKey(i)) for i in range(64)]
     assert flips == again                 # reproducible
+
+
+def test_grad_accumulation_matches_big_batch():
+    """optax.MultiSteps path: 2 accumulation steps over half-batches ==
+    one step over the full batch (same update)."""
+    from mvlt_tpu.train import create_train_state, make_optimizer
+
+    cfg = tiny_cfg()
+    mesh = build_mesh(MeshConfig())
+    model = VQAModel(cfg)
+    batch = vqa_batch(8)
+    variables = model.init(jax.random.PRNGKey(0), batch["image"],
+                           batch["question"])
+
+    # copy BEFORE stepping: the compiled step donates its state, whose
+    # buffers may alias `variables` on CPU (no-copy device_put)
+    variables2 = jax.tree.map(jnp.array, variables)
+    init_np = jax.tree.map(np.asarray, variables["params"])
+
+    # full batch, 1 step
+    s1 = create_train_state(model, variables, make_optimizer(cfg))
+    s1, shard1 = shard_train_state(s1, mesh)
+    step1 = make_vqa_step(model, mesh, shard1)
+    s1, _ = step1(s1, step1.shard_batch(batch), jax.random.PRNGKey(0))
+
+    # two half batches with grad_accum_steps=2 (loss is mean per
+    # half-batch; the accumulated update is the mean of the two)
+    variables = variables2
+    s2 = create_train_state(model, variables,
+                            make_optimizer(cfg, grad_accum_steps=2))
+    s2, shard2 = shard_train_state(s2, mesh)
+    step2 = make_vqa_step(model, mesh, shard2)
+    for half in (jax.tree.map(lambda x: x[:4] if hasattr(x, 'ndim') and x.ndim else x,
+                              {k: batch[k] for k in ("image", "question", "label")}),
+                 jax.tree.map(lambda x: x[4:] if hasattr(x, 'ndim') and x.ndim else x,
+                              {k: batch[k] for k in ("image", "question", "label")})):
+        padded = {k: np.concatenate([np.asarray(v)] * 2) for k, v in half.items()}
+        s2, _ = step2(s2, step2.shard_batch(padded), jax.random.PRNGKey(0))
+    # after the two micro-steps one real update has been applied
+    d1 = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+        s2.params, init_np))
+    assert max(d1) > 0.0
