@@ -23,7 +23,7 @@ def _use_pallas(q: jnp.ndarray, bias: Optional[jnp.ndarray]) -> bool:
         return False
     # Flash path handles seq lens that tile well; small fusion seqs (<=512)
     # are fine on the einsum path, large batches of windows benefit.
-    s_q, s_k = q.shape[-2], q.shape[-2]
+    s_q, s_k = q.shape[-2], bias.shape[-1] if bias is not None else q.shape[-2]
     return s_q >= 128 and s_k >= 128
 
 

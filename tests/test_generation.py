@@ -168,3 +168,18 @@ def test_generate_dispatch(setup):
     assert g[0].shape == (B, CFG.max_length)
     bm = generate(model, variables, img, GenerationSpec.from_config(CFG, 2))
     assert bm[0].shape == (B, CFG.max_length)
+
+
+def test_generate_two_view_images(setup):
+    """IU X-Ray path: 5-D (B, 2, C, H, W) input through generate()
+    (reference run_report_generation_cxr.py two-view + beam)."""
+    model, variables, _, _ = setup
+    import numpy as np
+    from mvlt_tpu.models.generation import GenerationSpec, generate
+
+    spec = GenerationSpec.from_config(CFG, num_beams=2)
+    img = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 2, 3, 32, 32)).astype(np.float32))
+    seqs = generate(model, variables, img, spec)[0]
+    assert seqs.shape[0] == 2
+    assert seqs.shape[1] <= spec.max_length
