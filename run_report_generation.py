@@ -51,6 +51,8 @@ def build_datasets(args, tokenizer, max_length):
             learning_strategy=args.learning_strategy)
         return mk("train"), mk("test")
     if args.dataset == "rgc":
+        if not args.rgc_index:
+            raise SystemExit("--dataset rgc requires --rgc_index")
         mk = lambda split: CaptionDataset(
             PickleSource(args.rgc_index.replace("train", split)),
             tokenizer, max_length, split,

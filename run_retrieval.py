@@ -76,6 +76,9 @@ def main():
             _os.path.join(args.iu_xray_root, "annotation.json"), split)
         src_train, src_test = mk("train"), mk("test")
     else:
+        if not args.rgc_index:
+            raise SystemExit("no data source: pass --rgc_index, "
+                             "--iu_xray_root, or --synthetic")
         src_train = PickleSource(args.rgc_index)
         src_test = PickleSource(args.rgc_index.replace("train", "test"))
     train_ds = RetrievalDataset(src_train, tokenizer, args.max_length,
