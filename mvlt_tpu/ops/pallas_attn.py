@@ -295,17 +295,74 @@ def _ln(xf, scale, bias, eps=1e-5):
 def _full_kernel(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref,
                  bproj_ref, ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref,
                  b2_ref, bias_ref, o_ref, ctx_ref, *, scale: float,
-                 num_heads: int):
+                 num_heads: int, window_n: int):
+    """x block is 2-D (G*N, C): the big matmuls (qkv / proj / MLP) run with
+    M = G*N rows — near-full MXU row utilization — and the attention core
+    slices per-window rows out of the qkv VALUE (plain 2-D slices, no
+    Mosaic-hostile reshapes)."""
+    GN, C = x_ref.shape
+    N = window_n
+    G = GN // N
+    Gb = bias_ref.shape[0]
+    Dh = C // num_heads
+
+    def dot(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    X = x_ref[:].astype(jnp.float32)                        # (G*N, C)
+    H1 = _ln(X, ln1s_ref[:], ln1b_ref[:])
+    QKV = dot(H1.astype(x_ref.dtype), wqkv_ref[:])
+    QKV = (QKV + bqkv_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
+
+    for g in range(G):
+        rows = QKV[g * N:(g + 1) * N]                       # (N, 3C)
+        for hh in range(num_heads):
+            q = rows[:, hh * Dh:(hh + 1) * Dh].astype(jnp.float32) * scale
+            k = rows[:, C + hh * Dh:C + (hh + 1) * Dh].astype(jnp.float32)
+            v = rows[:, 2 * C + hh * Dh:2 * C + (hh + 1) * Dh]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s + bias_ref[g % Gb, hh]
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            ctx = jax.lax.dot_general(p.astype(v.dtype), v,
+                                      (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            ctx_ref[g * N:(g + 1) * N, hh * Dh:(hh + 1) * Dh] = \
+                ctx.astype(ctx_ref.dtype)
+
+    attn = dot(ctx_ref[:], wproj_ref[:])
+    res1 = X + attn + bproj_ref[:].astype(jnp.float32)
+    H2 = _ln(res1, ln2s_ref[:], ln2b_ref[:])
+    m = dot(H2.astype(x_ref.dtype), w1_ref[:])
+    m = m + b1_ref[:].astype(jnp.float32)
+    # exact-GELU via the A&S erf approximation (1.5e-7, far below bf16
+    # resolution); jax.nn.gelu's erf/erfc aren't lowerable in Mosaic
+    m = 0.5 * m * (1.0 + _erf_approx(m * 0.7071067811865476))
+    mlp = dot(m.astype(x_ref.dtype), w2_ref[:])
+    o_ref[:] = (res1 + mlp + b2_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _full_kernel_windows(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
+                         wproj_ref, bproj_ref, ln2s_ref, ln2b_ref, w1_ref,
+                         b1_ref, w2_ref, b2_ref, bias_ref, o_ref, ctx_ref, *,
+                         scale: float, num_heads: int):
+    """3-D fallback: per-window dots (used when G*N can't be 8-aligned,
+    e.g. shifted stage-3 blocks where nWb=4 and N=49)."""
     G, N, C = x_ref.shape
     Gb = bias_ref.shape[0]
     Dh = C // num_heads
 
+    def dot(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
     for g in range(G):
-        xf = x_ref[g].astype(jnp.float32)                    # (N, C)
+        xf = x_ref[g].astype(jnp.float32)
         h = _ln(xf, ln1s_ref[:], ln1b_ref[:])
-        rows = jax.lax.dot_general(
-            h.astype(x_ref.dtype), wqkv_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        rows = dot(h.astype(x_ref.dtype), wqkv_ref[:])
         rows = (rows + bqkv_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
         for hh in range(num_heads):
             q = rows[:, hh * Dh:(hh + 1) * Dh].astype(jnp.float32) * scale
@@ -324,28 +381,20 @@ def _full_kernel(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref,
 
     for g in range(G):
         xf = x_ref[g].astype(jnp.float32)
-        attn = jax.lax.dot_general(
-            ctx_ref[g], wproj_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        attn = dot(ctx_ref[g], wproj_ref[:])
         res1 = xf + attn + bproj_ref[:].astype(jnp.float32)
         h2 = _ln(res1, ln2s_ref[:], ln2b_ref[:])
-        m = jax.lax.dot_general(
-            h2.astype(x_ref.dtype), w1_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        m = dot(h2.astype(x_ref.dtype), w1_ref[:])
         m = m + b1_ref[:].astype(jnp.float32)
-        # exact-GELU via the A&S erf approximation (1.5e-7, far below bf16
-        # resolution); jax.nn.gelu's erf/erfc aren't lowerable in Mosaic
         m = 0.5 * m * (1.0 + _erf_approx(m * 0.7071067811865476))
-        mlp = jax.lax.dot_general(
-            m.astype(x_ref.dtype), w2_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        mlp = dot(m.astype(x_ref.dtype), w2_ref[:])
         o_ref[g] = (res1 + mlp
                     + b2_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
 
 
-def _full_forward(x, params, bias, *, scale, num_heads, group, interpret):
-    """params: tuple (ln1s, ln1b, wqkv, bqkv, wproj, bproj, ln2s, ln2b,
-    w1, b1, w2, b2)."""
+def _full_forward_windows(x, params, bias, *, scale, num_heads, group,
+                          interpret):
+    """3-D per-window grid (fallback path)."""
     BW, N, C = x.shape
     nWb = bias.shape[0]
     G = group
@@ -375,7 +424,8 @@ def _full_forward(x, params, bias, *, scale, num_heads, group, interpret):
 
     x_spec = pl.BlockSpec((G, N, C), x_map, memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_full_kernel, scale=scale, num_heads=num_heads),
+        functools.partial(_full_kernel_windows, scale=scale,
+                          num_heads=num_heads),
         grid=grid,
         in_specs=[x_spec] + [const_spec(p.shape) for p in params]
         + [bias_spec],
@@ -384,6 +434,65 @@ def _full_forward(x, params, bias, *, scale, num_heads, group, interpret):
         scratch_shapes=[pltpu.VMEM((G, N, C), x.dtype)],
         interpret=interpret,
     )(x, *params, bias)
+
+
+def _full_forward(x, params, bias, *, scale, num_heads, group, interpret):
+    """params: tuple (ln1s, ln1b, wqkv, bqkv, wproj, bproj, ln2s, ln2b,
+    w1, b1, w2, b2).  x: (BW, N, C) windows.
+
+    Prefers the 2-D (G*N, C) layout (big MXU dots) when a group size G
+    exists with G*N % 8 == 0 (Mosaic block constraint), G | BW and
+    G | nWb; otherwise uses the per-window 3-D kernel."""
+    BW, N, C = x.shape
+    nWb = bias.shape[0]
+    G = group
+    # VMEM budget: the dominant in-kernel value is the (G*N, 4C) f32 MLP
+    # intermediate; cap it (plus qkv + x blocks) around ~8MB
+    while G > 1 and G * N * C * (4 + 3 + 4) * 4 > 8 * 1024 * 1024:
+        G //= 2
+    while G > 1 and (BW % G != 0 or (nWb > 1 and nWb % G != 0)
+                     or (G * N) % 8 != 0):
+        G //= 2
+    if (G * N) % 8 != 0 or BW % G != 0 or (nWb > 1 and nWb % G != 0):
+        return _full_forward_windows(x, params, bias, scale=scale,
+                                     num_heads=num_heads, group=group,
+                                     interpret=interpret)
+
+    x2 = x.reshape(BW * N, C)      # XLA-side reshape (contiguous, free-ish)
+
+    if nWb > 1:
+        B = BW // nWb
+        grid = (nWb // G, B)
+        x_map = lambda i_w, i_b: (i_b * (nWb // G) + i_w, 0)
+        nargs = 2
+        bias_spec = pl.BlockSpec((G, num_heads, N, N),
+                                 lambda i_w, i_b: (i_w, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        grid = (BW // G,)
+        x_map = lambda i: (i, 0)
+        nargs = 1
+        bias_spec = pl.BlockSpec((1, num_heads, N, N), lambda i: (0, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+
+    def const_spec(shape):
+        zero = (lambda i_w, i_b: (0,) * len(shape)) if nargs == 2 else \
+            (lambda i: (0,) * len(shape))
+        return pl.BlockSpec(shape, zero, memory_space=pltpu.VMEM)
+
+    x_spec = pl.BlockSpec((G * N, C), x_map, memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_full_kernel, scale=scale, num_heads=num_heads,
+                          window_n=N),
+        grid=grid,
+        in_specs=[x_spec] + [const_spec(p.shape) for p in params]
+        + [bias_spec],
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
+        scratch_shapes=[pltpu.VMEM((G * N, C), x.dtype)],
+        interpret=interpret,
+    )(x2, *params, bias)
+    return out.reshape(BW, N, C)
 
 
 def _full_xla_ref(x, params, bias, scale, num_heads):
