@@ -454,6 +454,22 @@ def _full_forward(x, params, bias, *, scale, num_heads, group, interpret):
                      or (G * N) % 8 != 0):
         G //= 2
     if (G * N) % 8 != 0 or BW % G != 0 or (nWb > 1 and nWb % G != 0):
+        # No 8-aligned G exists (e.g. shifted stage-3: nWb=4, N=49 odd).
+        # Pad windows to the next multiple of 8 rows so the 2-D big-dot
+        # path still applies: padded KEYS are masked with a large negative
+        # bias; padded QUERY rows produce garbage that is sliced off.
+        N_pad = -(-N // 8) * 8
+        if N_pad != N and N_pad * bias.shape[1] > 0:
+            x_p = jnp.pad(x, ((0, 0), (0, N_pad - N), (0, 0)))
+            bias_p = jnp.pad(bias,
+                             ((0, 0), (0, 0), (0, N_pad - N), (0, 0)))
+            bias_p = jnp.pad(bias_p,
+                             ((0, 0), (0, 0), (0, 0), (0, N_pad - N)),
+                             constant_values=-1e9)
+            out = _full_forward(x_p, params, bias_p, scale=scale,
+                                num_heads=num_heads, group=group,
+                                interpret=interpret)
+            return out[:, :N]
         return _full_forward_windows(x, params, bias, scale=scale,
                                      num_heads=num_heads, group=group,
                                      interpret=interpret)

@@ -126,3 +126,23 @@ def test_swin_full_block_impl_matches_xla_impl():
         {"params": params}, img)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_full_block_padded_path_matches_ref():
+    """N=49, nWb=4: no 8-aligned G exists → the pad-to-56 branch runs."""
+    from mvlt_tpu.ops.pallas_attn import _full_xla_ref, swin_full_block
+
+    BW, N, C, nH, nWb = 8, 49, 16, 2, 4
+    x = _rand((BW, N, C), 20)
+    params = (jnp.ones((C,)), jnp.zeros((C,)),                       # ln1
+              _rand((C, 3 * C), 21) * 0.2, _rand((3 * C,), 22) * 0.1,
+              _rand((C, C), 23) * 0.2, _rand((C,), 24) * 0.1,
+              jnp.ones((C,)), jnp.zeros((C,)),                       # ln2
+              _rand((C, 4 * C), 25) * 0.2, _rand((4 * C,), 26) * 0.1,
+              _rand((4 * C, C), 27) * 0.2, _rand((C,), 28) * 0.1)
+    bias = _rand((nWb, nH, N, N), 29) * 0.1
+    scale = (C // nH) ** -0.5
+    got = swin_full_block(x, params, bias, scale, nH, interpret=True)
+    want = _full_xla_ref(x, params, bias, scale, nH)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
