@@ -16,10 +16,13 @@ EOS, PAD = 2, 0
 MAX_LEN = 9
 
 
-def _run_pair(seed, B=2, K=3, steps=MAX_LEN, eos_boost=0.0):
+def _run_pair(seed, B=2, K=3, steps=MAX_LEN, eos_boost=0.0,
+              length_penalty=1.0, early_stopping=False):
     rng = np.random.RandomState(seed)
 
-    hf = BeamSearchScorer(batch_size=B, num_beams=K, device="cpu")
+    hf = BeamSearchScorer(batch_size=B, num_beams=K, device="cpu",
+                          length_penalty=length_penalty,
+                          do_early_stopping=early_stopping)
     hf_input_ids = None
     hf_beam_scores = torch.zeros((B, K), dtype=torch.float)
     hf_beam_scores[:, 1:] = -1e9
@@ -72,14 +75,16 @@ def _run_pair(seed, B=2, K=3, steps=MAX_LEN, eos_boost=0.0):
             probe = probe.at[:, :, 0].set(103)
             st, jbs, jbt, jbi = jbeam.process(
                 st, probe, 1, top_scores, top_tok, top_idx,
-                pad_token_id=PAD, eos_token_id=EOS, cur_len=2)
+                pad_token_id=PAD, eos_token_id=EOS, cur_len=2,
+                length_penalty=length_penalty, early_stopping=early_stopping)
             j_seqs = jnp.zeros((B, K, MAX_LEN), jnp.int32)
             j_seqs = j_seqs.at[:, :, 0].set(jbt)
             seq_len = 1
         else:
             st, jbs, jbt, jbi = jbeam.process(
                 st, j_seqs, t, top_scores, top_tok, top_idx,
-                pad_token_id=PAD, eos_token_id=EOS)
+                pad_token_id=PAD, eos_token_id=EOS,
+                length_penalty=length_penalty, early_stopping=early_stopping)
             gathered = jnp.take_along_axis(j_seqs, jbi[:, :, None], axis=1)
             j_seqs = gathered.at[:, :, t].set(jbt)
             seq_len = t + 1
@@ -107,7 +112,7 @@ def _run_pair(seed, B=2, K=3, steps=MAX_LEN, eos_boost=0.0):
     seq_len = final_t if final_t > 0 else 1
     j_out, j_len, j_score = jbeam.finalize(
         st, j_seqs, seq_len, j_scores, max_length=MAX_LEN,
-        pad_token_id=PAD, eos_token_id=EOS)
+        pad_token_id=PAD, eos_token_id=EOS, length_penalty=length_penalty)
 
     hf_seq = hf_fin["sequences"].numpy()
     j_np = np.asarray(j_out)
@@ -134,3 +139,14 @@ def test_with_eos(seed):
 @pytest.mark.parametrize("seed", range(4))
 def test_heavy_eos(seed):
     _run_pair(seed, eos_boost=6.0, K=4)
+
+
+@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("lp", [0.6, 2.0])
+def test_length_penalty_variants(seed, lp):
+    _run_pair(seed, eos_boost=2.0, length_penalty=lp)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_early_stopping(seed):
+    _run_pair(seed, eos_boost=2.0, early_stopping=True)
