@@ -245,12 +245,15 @@ class FusionEncoder(nn.Module):
         bias = mask_lib.mask_to_bias(mask, jnp.float32)
 
         hidden = emb
-        new_k, new_v = [], []
+        ck, cv = cache["k"], cache["v"]
         for i, layer in enumerate(self.layers):
             hidden, _, new_cache = layer(
-                hidden, bias, (cache["k"][i], cache["v"][i]),
-                write_pos, deterministic)
-            new_k.append(new_cache[0])
-            new_v.append(new_cache[1])
-        cache = {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
-        return hidden, cache
+                hidden, bias, (ck[i], cv[i]), write_pos, deterministic)
+            # write the layer's updated K/V back into the stacked buffer
+            # in place (a slice + jnp.stack rebuild would copy the whole
+            # 12-layer cache every decode step)
+            ck = jax.lax.dynamic_update_index_in_dim(
+                ck, new_cache[0].astype(ck.dtype), i, axis=0)
+            cv = jax.lax.dynamic_update_index_in_dim(
+                cv, new_cache[1].astype(cv.dtype), i, axis=0)
+        return hidden, {"k": ck, "v": cv}

@@ -74,7 +74,11 @@ def _prefill(model, variables, image_feature, spec: GenerationSpec):
 
 
 def _make_cache(model, variables, kv, prefix_len: int, batch: int,
-                spec: GenerationSpec, dtype=jnp.float32):
+                spec: GenerationSpec, dtype=None):
+    if dtype is None:
+        # match the model's compute dtype: halves per-step cache traffic
+        # for bf16 serving (KV rounding is within bf16 model noise)
+        dtype = model.dtype if hasattr(model, "dtype") else jnp.float32
     cache = init_cache(model.config.fusion, batch,
                        prefix_len + spec.max_length + 1, dtype)
     k = jnp.stack([layer_kv[0][:, :, :prefix_len] for layer_kv in kv])
