@@ -81,9 +81,44 @@ class SelfAttention(nn.Module):
         # simple HF-layout three-dense form stays.
         dense = lambda name: nn.Dense(H, kernel_init=normal_init(cfg.initializer_range),
                                       dtype=self.dtype, name=name)
-        q = heads(dense("query")(hidden))
-        k = heads(dense("key")(hidden))
-        v = heads(dense("value")(hidden))
+        q_dense, k_dense, v_dense = dense("query"), dense("key"), dense("value")
+        out_dense = nn.Dense(H, kernel_init=normal_init(cfg.initializer_range),
+                             dtype=self.dtype, name="out")
+
+        # Fused Pallas path for bidirectional (key-only bias) attention.
+        # Measured on v5e: throughput-NEUTRAL vs XLA (10.6ms either way at
+        # b64 — this encoder is matmul-dominated and XLA already fuses the
+        # bias/softmax chain), so it is opt-in via MVLT_FUSED_SEQ_ATTN=1;
+        # kept as working infrastructure for the round-2 decode kernel.
+        drop_active = cfg.attention_probs_dropout_prob > 0.0 and not deterministic
+        key_only_bias = bias is not None and bias.ndim == 4 and bias.shape[1] == 1 \
+            and bias.shape[2] == 1
+        import os
+        if (cache_kv is None and key_only_bias and not drop_active
+                and not self.is_initializing()
+                and os.environ.get("MVLT_FUSED_SEQ_ATTN")
+                and jax.default_backend() == "tpu"):
+            from mvlt_tpu.ops.pallas_attn import fused_seq_attention
+            cdt = self.dtype or hidden.dtype
+            gv = lambda n: self.get_variable("params", n)
+            wqkv = jnp.concatenate(
+                [gv(n)["kernel"] for n in ("query", "key", "value")],
+                axis=1).astype(cdt)
+            bqkv = jnp.concatenate(
+                [gv(n)["bias"] for n in ("query", "key", "value")]).astype(cdt)
+            ctx_out = fused_seq_attention(
+                hidden.astype(cdt), wqkv, bqkv,
+                gv("out")["kernel"].astype(cdt), gv("out")["bias"].astype(cdt),
+                bias[:, 0, 0, :], Dh ** -0.5, nH)
+            ctx_out = nn.Dropout(cfg.hidden_dropout_prob)(
+                ctx_out, deterministic=deterministic)
+            out = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                               name="out_layernorm")(ctx_out + hidden)
+            return out, None, None
+
+        q = heads(q_dense(hidden))
+        k = heads(k_dense(hidden))
+        v = heads(v_dense(hidden))
 
         new_cache = None
         if cache_kv is not None:
@@ -102,7 +137,7 @@ class SelfAttention(nn.Module):
             dropout_rng=dropout_rng, deterministic=deterministic)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, H)
 
-        out = dense("out")(ctx)
+        out = out_dense(ctx)
         out = nn.Dropout(cfg.hidden_dropout_prob)(out, deterministic=deterministic)
         out = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                            name="out_layernorm")(out + hidden)

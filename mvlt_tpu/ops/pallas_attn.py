@@ -270,6 +270,133 @@ def window_block_attention(x, wqkv, bqkv, wproj, bproj, bias,
 
 
 # ---------------------------------------------------------------------------
+# fusion-encoder attention: qkv + self-attention + out-projection fused,
+# with a per-sample additive KEY bias (the bidirectional padding mask,
+# masks.py mask_to_bias of a (B, S) key mask)
+# ---------------------------------------------------------------------------
+
+def _seq_attn_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+                     kbias_ref, o_ref, ctx_ref, *, scale: float,
+                     num_heads: int, seq_n: int):
+    GN, C = x_ref.shape
+    N = seq_n
+    G = GN // N
+    Dh = C // num_heads
+    base = pl.program_id(0) * G      # kbias is the full (B, N) array
+
+    def dot(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    QKV = dot(x_ref[:], wqkv_ref[:])
+    QKV = (QKV + bqkv_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
+
+    for g in range(G):
+        rows = QKV[g * N:(g + 1) * N]
+        kbias = kbias_ref[base + g]                          # (N,) additive
+        for hh in range(num_heads):
+            q = rows[:, hh * Dh:(hh + 1) * Dh].astype(jnp.float32) * scale
+            k = rows[:, C + hh * Dh:C + (hh + 1) * Dh].astype(jnp.float32)
+            v = rows[:, 2 * C + hh * Dh:2 * C + (hh + 1) * Dh]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s + kbias[None, :]
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            ctx = jax.lax.dot_general(p.astype(v.dtype), v,
+                                      (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            ctx_ref[g * N:(g + 1) * N, hh * Dh:(hh + 1) * Dh] = \
+                ctx.astype(ctx_ref.dtype)
+
+    out = dot(ctx_ref[:], wproj_ref[:])
+    o_ref[:] = (out + bproj_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _seq_attn_xla_ref(x, wqkv, bqkv, wproj, bproj, kbias, scale, num_heads):
+    B, N, C = x.shape
+    Dh = C // num_heads
+    qkv = (x.reshape(-1, C) @ wqkv + bqkv).reshape(B, N, 3, num_heads, Dh)
+    q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+    s = jnp.einsum("bhnd,bhmd->bhnm", q.astype(jnp.float32) * scale,
+                   k.astype(jnp.float32))
+    s = s + kbias[:, None, None, :].astype(jnp.float32)
+    p = jax.nn.softmax(s, axis=-1)
+    ctx = jnp.einsum("bhnm,bhmd->bhnd", p.astype(v.dtype), v)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(-1, C)
+    return (ctx @ wproj + bproj).reshape(B, N, C).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def fused_seq_attention(x, wqkv, bqkv, wproj, bproj, kbias,
+                        scale: float, num_heads: int, group: int = 8,
+                        interpret: bool = False):
+    """Fused qkv + bidirectional self-attention + out projection for the
+    fusion encoder.  x: (B, N, C); kbias: (B, N) additive key bias
+    (0 / -10000 from masks.mask_to_bias).  Pads N to a multiple of 8
+    internally (padded keys masked, padded query rows sliced off)."""
+    B, N, C = x.shape
+    N_pad = -(-N // 8) * 8
+    if N_pad != N:
+        x = jnp.pad(x, ((0, 0), (0, N_pad - N), (0, 0)))
+        kbias = jnp.pad(kbias, ((0, 0), (0, N_pad - N)),
+                        constant_values=-1e9)
+
+    G = group
+    while G > 1 and (B % G != 0
+                     or G * N_pad * C * 9 * 4 > 8 * 1024 * 1024):
+        G //= 2
+
+    x2 = x.reshape(B * N_pad, C)
+    grid = (B // G,)
+    x_spec = pl.BlockSpec((G * N_pad, C), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    # full kbias resident (tiny: B*N_pad f32); a (G, N_pad) block would
+    # violate the 8-sublane block constraint for small G
+    kb_spec = pl.BlockSpec((B, N_pad), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+
+    def const_spec(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_seq_attn_kernel, scale=scale,
+                          num_heads=num_heads, seq_n=N_pad),
+        grid=grid,
+        in_specs=[x_spec, const_spec(wqkv.shape), const_spec(bqkv.shape),
+                  const_spec(wproj.shape), const_spec(bproj.shape), kb_spec],
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
+        scratch_shapes=[pltpu.VMEM((G * N_pad, C), x.dtype)],
+        interpret=interpret,
+    )(x2, wqkv, bqkv, wproj, bproj, kbias)
+    return out.reshape(B, N_pad, C)[:, :N]
+
+
+def _seq_fwd(x, wqkv, bqkv, wproj, bproj, kbias, scale, num_heads, group,
+             interpret):
+    out = fused_seq_attention(x, wqkv, bqkv, wproj, bproj, kbias, scale,
+                              num_heads, group, interpret)
+    return out, (x, wqkv, bqkv, wproj, bproj, kbias)
+
+
+def _seq_bwd(scale, num_heads, group, interpret, res, g):
+    x, wqkv, bqkv, wproj, bproj, kbias = res
+
+    def ref(x, wqkv, bqkv, wproj, bproj, kbias):
+        return _seq_attn_xla_ref(x, wqkv, bqkv, wproj, bproj, kbias, scale,
+                                 num_heads)
+
+    _, vjp = jax.vjp(ref, x, wqkv, bqkv, wproj, bproj, kbias)
+    return vjp(g)
+
+
+fused_seq_attention.defvjp(_seq_fwd, _seq_bwd)
+
+
+# ---------------------------------------------------------------------------
 # widest fusion: the whole Swin block (LN1 -> attn -> +res -> LN2 -> MLP ->
 # +res), deterministic path (DropPath/dropout are identity at inference)
 # ---------------------------------------------------------------------------

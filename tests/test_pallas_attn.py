@@ -146,3 +146,36 @@ def test_full_block_padded_path_matches_ref():
     want = _full_xla_ref(x, params, bias, scale, nH)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_fused_seq_attention_matches_ref():
+    """Fusion-encoder attention kernel: qkv+attn+proj with per-sample key
+    bias, incl. the pad-to-multiple-of-8 path (N=75-like)."""
+    from mvlt_tpu.ops.pallas_attn import (_seq_attn_xla_ref,
+                                          fused_seq_attention)
+
+    B, N, C, nH = 4, 11, 16, 2
+    x = _rand((B, N, C), 30)
+    wqkv = _rand((C, 3 * C), 31) * 0.2
+    bqkv = _rand((3 * C,), 32) * 0.1
+    wproj = _rand((C, C), 33) * 0.2
+    bproj = _rand((C,), 34) * 0.1
+    # key bias: 0 for valid, -10000 for padded keys (masks.mask_to_bias)
+    kbias = jnp.where(jnp.arange(N)[None, :] < jnp.array([[11], [7], [9], [3]]),
+                      0.0, -10000.0).astype(jnp.float32)
+    scale = (C // nH) ** -0.5
+    got = fused_seq_attention(x, wqkv, bqkv, wproj, bproj, kbias, scale, nH,
+                              interpret=True)
+    want = _seq_attn_xla_ref(x, wqkv, bqkv, wproj, bproj, kbias, scale, nH)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+    # gradients via the recompute VJP
+    g1 = jax.grad(lambda *a: fused_seq_attention(
+        *a, scale, nH, interpret=True).sum(), argnums=(0, 1, 5))(
+        x, wqkv, bqkv, wproj, bproj, kbias)
+    g2 = jax.grad(lambda *a: _seq_attn_xla_ref(*a, scale, nH).sum(),
+                  argnums=(0, 1, 5))(x, wqkv, bqkv, wproj, bproj, kbias)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
