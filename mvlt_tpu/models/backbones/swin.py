@@ -227,9 +227,15 @@ class SwinBlock(nn.Module):
         # (LN1 -> attn -> +res -> LN2 -> MLP -> +res) in one Pallas kernel
         # (DropPath/dropout are identity when deterministic).
         impl = self.attn_impl
+        # whole-block kernel weights (qkv+proj+fc1+fc2 = 12*C^2 params,
+        # bf16) must leave VMEM room for activations: C=768 (stage 4) is
+        # 14.2MB against the 16MB scoped limit and can OOM; those blocks
+        # use the attention-only kernel + XLA MLP instead.
+        weights_fit = 12 * C * C * 2 <= 12 * 1024 * 1024
         full_ok = not self.is_initializing() and deterministic and (
             impl == "interpret_full"
-            or (impl == "auto" and jax.default_backend() == "tpu"))
+            or (impl == "auto" and jax.default_backend() == "tpu"
+                and weights_fit))
         if full_ok:
             return self._fused_full_block(x, window, shift,
                                           interpret=(impl == "interpret_full"))
