@@ -76,7 +76,9 @@ def measure_caption_decode(batch: int = 8, num_beams: int = 3,
         size=(batch, 3, 224, 224)), jnp.float32)
     caption = jnp.ones((batch, 4), jnp.int32)
     variables = zeros_init(model, image, caption)
-    spec = GenerationSpec.from_config(cfg, num_beams=num_beams)
+    # unrolled decode: identical results, ~3.8x lower per-step overhead
+    # under the axon runtime (NOTES.md)
+    spec = GenerationSpec.from_config(cfg, num_beams=num_beams, unroll=True)
     jfn = jax.jit(lambda v, im: generate(model, v, im, spec)[0])
     jax.device_get(jfn(variables, image))
     t0 = time.perf_counter()

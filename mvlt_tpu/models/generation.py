@@ -38,6 +38,13 @@ class GenerationSpec:
     early_stopping: bool = False
     strategy: str = "unilm"       # 'unilm' | 'normal'
     sample: bool = False
+    # Run the decode loop as an unrolled program instead of
+    # lax.while_loop. Identical results (done rows are masked exactly as
+    # they are inside the loop); trades compile time and loses the
+    # all-done early exit for much lower per-step overhead on runtimes
+    # with body-size-proportional loop dispatch cost (NOTES.md: 16 ->
+    # 4.2 ms/step on the axon tunnel).
+    unroll: bool = False
 
     @staticmethod
     def from_config(cfg: MVLTConfig, num_beams: int = 1, **kw) -> "GenerationSpec":
@@ -160,7 +167,12 @@ def greedy_search(model, variables, image_feature, spec: GenerationSpec,
         return (t + 1, tok, unfin, ids, scores, cache, rng)
 
     state = (jnp.int32(1), tok0, unfinished, ids, scores, cache, rng)
-    _, _, _, ids, scores, _, _ = jax.lax.while_loop(cond, body, state)
+    if spec.unroll:
+        for _t in range(1, spec.max_length):
+            state = body(state)
+        _, _, _, ids, scores, _, _ = state
+    else:
+        _, _, _, ids, scores, _, _ = jax.lax.while_loop(cond, body, state)
     return ids, scores
 
 
@@ -234,7 +246,12 @@ def beam_search(model, variables, image_feature, spec: GenerationSpec
         return (t + 1, prev, beam_scores, hyps, seqs, cache)
 
     state = (jnp.int32(1), prev, beam_scores, hyps, seqs, cache)
-    t, _, beam_scores, hyps, seqs, _ = jax.lax.while_loop(cond, body, state)
+    if spec.unroll:
+        for _t in range(1, L):
+            state = body(state)
+        t, _, beam_scores, hyps, seqs, _ = state
+    else:
+        t, _, beam_scores, hyps, seqs, _ = jax.lax.while_loop(cond, body, state)
 
     return beam_lib.finalize(
         hyps, seqs, t, beam_scores, max_length=L,

@@ -183,3 +183,19 @@ def test_generate_two_view_images(setup):
     seqs = generate(model, variables, img, spec)[0]
     assert seqs.shape[0] == 2
     assert seqs.shape[1] <= spec.max_length
+
+
+@pytest.mark.parametrize("num_beams", [1, 2])
+def test_unrolled_decode_matches_loop(setup, num_beams):
+    """spec.unroll=True must produce identical sequences/scores to the
+    lax.while_loop path."""
+    model, variables, img, _ = setup
+    from mvlt_tpu.models.generation import GenerationSpec, generate
+
+    base = GenerationSpec.from_config(CFG, num_beams=num_beams)
+    import dataclasses as dc
+    looped = generate(model, variables, img, base)
+    unrolled = generate(model, variables, img, dc.replace(base, unroll=True))
+    for a, b in zip(looped, unrolled):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
