@@ -45,9 +45,13 @@ def ptb_tokenize_native(text: str) -> Optional[str]:
     """Native PTB tokenization (csrc/ptb.cc); None if unavailable or the
     input is non-ASCII (caller falls back to the Python port)."""
     global _PTB_LIB
-    if _PTB_LIB is None:
-        _PTB_LIB = load_library() or False
-    if _PTB_LIB is False or not text.isascii():
+    if not _PTB_LIB:
+        # Re-probe on every call while unavailable: the library may be
+        # built after the first (failed) lookup.
+        _PTB_LIB = load_library()
+        if _PTB_LIB is None:
+            return None
+    if not text.isascii():
         return None
     buf = ctypes.create_string_buffer(max(4096, len(text) * 3 + 16))
     n = _PTB_LIB.mvlt_ptb_tokenize(text.encode(), buf, len(buf))

@@ -22,6 +22,14 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 REFERENCE_ROOT = "/root/reference"
 
+# Build the native C++ library up front so tests that exercise the fast
+# paths (metrics PTB tokenizer, WordPiece) see it regardless of test order.
+_REPO = pathlib.Path(__file__).resolve().parents[1]
+if not (_REPO / "mvlt_tpu" / "_native" / "libmvlt_native.so").exists():
+    import subprocess
+
+    subprocess.run(["make", "-C", str(_REPO / "csrc")], check=False)
+
 
 def reference_available() -> bool:
     return os.path.isdir(REFERENCE_ROOT)
