@@ -34,7 +34,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
+def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
+            fast: bool = False):
     G, nH, N, Dh = q_ref.shape
     Gb = bias_ref.shape[0]     # 1 when every window shares one bias pattern
     for g in range(G):
@@ -46,9 +47,7 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)            # (N, N)
             s = s + bias_ref[g % Gb, h]
-            s = s - jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            p = _softmax_rows(s, fast)
             o = jax.lax.dot_general(
                 p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)            # (N, Dh)
@@ -86,7 +85,8 @@ def _forward(q, k, v, bias, *, scale: float, group: int,
                             memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
-        functools.partial(_kernel, scale=scale),
+        functools.partial(_kernel, scale=scale,
+                          fast=(q.dtype == jnp.bfloat16 and not interpret)),
         grid=grid,
         in_specs=[qkv_spec(), qkv_spec(), qkv_spec(), bias_spec],
         out_specs=qkv_spec(),
@@ -161,7 +161,8 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def _block_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
-                  o_ref, ctx_ref, *, scale: float, num_heads: int):
+                  o_ref, ctx_ref, *, scale: float, num_heads: int,
+                  fast: bool = False):
     """Per program: G windows. x (G, N, C) -> qkv matmul -> per-window
     attention -> proj -> o (G, N, C). qkv/scores/ctx never leave VMEM."""
     G, N, C = x_ref.shape
@@ -182,9 +183,7 @@ def _block_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
             s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
             s = s + bias_ref[g % Gb, h]
-            s = s - jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            p = _softmax_rows(s, fast)
             ctx = jax.lax.dot_general(p.astype(v.dtype), v,
                                       (((1,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
@@ -198,11 +197,39 @@ def _block_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
         o_ref[g] = out.astype(o_ref.dtype)
 
 
-def _block_forward(x, wqkv, bqkv, wproj, bproj, bias, *, scale, num_heads,
-                   group, interpret):
+def _merge_window_pairs(x, bias):
+    """Pair adjacent windows into one block-diagonal attention group.
+
+    With N <= 64 the (N, N) score tile wastes >half of the 128-lane MXU/VPU
+    tile; a merged (2N, 2N) block-diagonal attention fills it.  Off-diagonal
+    entries get a -1e9 bias, so softmax rows are numerically EXACT: the row
+    max is unaffected and exp(-1e9 - max) == 0.  Pairing is contiguous in
+    the window axis, so x just reshapes (BW, N, C) -> (BW/2, 2N, C) — free.
+
+    Returns (x', bias', merged: bool)."""
     BW, N, C = x.shape
     nWb = bias.shape[0]
-    G = group
+    if N > 64 or BW % 2 != 0 or (nWb > 1 and nWb % 2 != 0):
+        return x, bias, False
+    nH = bias.shape[1]
+    neg = jnp.full((1 if nWb == 1 else nWb // 2, nH, 2 * N, 2 * N), -1e9,
+                   bias.dtype)
+    if nWb == 1:
+        top = bot = bias
+    else:
+        b = bias.reshape(nWb // 2, 2, nH, N, N)
+        top, bot = b[:, 0], b[:, 1]
+    merged = neg.at[:, :, :N, :N].set(top).at[:, :, N:, N:].set(bot)
+    return x.reshape(BW // 2, 2 * N, C), merged, True
+
+
+def _block_forward(x, wqkv, bqkv, wproj, bproj, bias, *, scale, num_heads,
+                   group, interpret):
+    orig_shape = x.shape
+    x, bias, merged = _merge_window_pairs(x, bias)
+    BW, N, C = x.shape
+    nWb = bias.shape[0]
+    G = max(group // 2, 1) if merged else group  # keep rows/program constant
     while BW % G != 0 or (nWb > 1 and nWb % G != 0):
         G //= 2
     G = max(G, 1)
@@ -225,8 +252,9 @@ def _block_forward(x, wqkv, bqkv, wproj, bproj, bias, *, scale, num_heads,
                                  memory_space=pltpu.VMEM)
 
     x_spec = pl.BlockSpec((G, N, C), x_map, memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        functools.partial(_block_kernel, scale=scale, num_heads=num_heads),
+    out = pl.pallas_call(
+        functools.partial(_block_kernel, scale=scale, num_heads=num_heads,
+                          fast=(x.dtype == jnp.bfloat16 and not interpret)),
         grid=grid,
         in_specs=[
             x_spec,
@@ -241,6 +269,7 @@ def _block_forward(x, wqkv, bqkv, wproj, bproj, bias, *, scale, num_heads,
         scratch_shapes=[pltpu.VMEM((G, N, C), x.dtype)],
         interpret=interpret,
     )(x, wqkv, bqkv, wproj, bproj, bias)
+    return out.reshape(orig_shape) if merged else out
 
 
 def _block_xla_ref(x, wqkv, bqkv, wproj, bproj, bias, scale, num_heads):
@@ -277,7 +306,7 @@ def window_block_attention(x, wqkv, bqkv, wproj, bproj, bias,
 
 def _seq_attn_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
                      kbias_ref, o_ref, ctx_ref, *, scale: float,
-                     num_heads: int, seq_n: int):
+                     num_heads: int, seq_n: int, fast: bool = False):
     GN, C = x_ref.shape
     N = seq_n
     G = GN // N
@@ -301,9 +330,7 @@ def _seq_attn_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
             s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
             s = s + kbias[None, :]
-            s = s - jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            p = _softmax_rows(s, fast)
             ctx = jax.lax.dot_general(p.astype(v.dtype), v,
                                       (((1,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
@@ -363,7 +390,8 @@ def fused_seq_attention(x, wqkv, bqkv, wproj, bproj, kbias,
 
     out = pl.pallas_call(
         functools.partial(_seq_attn_kernel, scale=scale,
-                          num_heads=num_heads, seq_n=N_pad),
+                          num_heads=num_heads, seq_n=N_pad,
+                          fast=(x.dtype == jnp.bfloat16 and not interpret)),
         grid=grid,
         in_specs=[x_spec, const_spec(wqkv.shape), const_spec(bqkv.shape),
                   const_spec(wproj.shape), const_spec(bproj.shape), kb_spec],
@@ -413,16 +441,89 @@ def _erf_approx(x):
     return sign * (1.0 - poly * jnp.exp(-ax * ax))
 
 
-def _ln(xf, scale, bias, eps=1e-5):
+def _erf_approx3(x):
+    """A&S 7.1.25 3-term rational erf (max abs err 2.5e-5 — two decades
+    below bf16 resolution): two fewer VPU madds than 7.1.26, used on the
+    bf16 fast path only."""
+    a1, a2, a3, p = 0.3480242, -0.0958798, 0.7478556, 0.47047
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * a3))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _softmax_rows(s, fast: bool):
+    """Row softmax in f32.  ``fast`` uses the TPU approximate reciprocal
+    (~2^-14 relative error) instead of a true divide — bf16 outputs only."""
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    if fast:
+        return p * pl.reciprocal(denom, approx=True)
+    return p / denom
+
+
+def _gelu_exact(m, fast: bool):
+    """GELU for the kernel body.  The exact path uses the A&S rational
+    erf (1.5e-7; Mosaic lowers neither erf nor erfc).  The bf16 fast path
+    uses the tanh formulation (native VPU tanh, ~half the elementwise
+    ops); its deviation from exact GELU is <=1.5e-3 absolute — below the
+    4e-3 relative resolution of the bf16 activations it feeds."""
+    if fast:
+        inner = 0.7978845608028654 * (m + 0.044715 * m * m * m)
+        return 0.5 * m * (1.0 + jnp.tanh(inner))
+    return 0.5 * m * (1.0 + _erf_approx(m * 0.7071067811865476))
+
+
+def _ln(xf, scale, bias, eps=1e-5, fast: bool = False):
+    if fast:
+        # Moments as MXU ones-matvecs: the VPU lane-reduction tree
+        # (~7 shuffle+add steps per granule, twice) moves to the idle MXU.
+        # E[x^2]-E[x]^2 in f32 is fine here: post-LN activations are O(1).
+        C = xf.shape[-1]
+        ones = jnp.ones((C, 1), jnp.float32)
+        mv = lambda a: jax.lax.dot_general(
+            a, ones, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        mu = mv(xf) * (1.0 / C)
+        var = mv(xf * xf) * (1.0 / C) - mu * mu
+        return (xf - mu) * jax.lax.rsqrt(var + eps) * scale + bias
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
     return (xf - mu) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
+def _attend(q, k, v, bias, fast: bool):
+    """One head's window attention core: scores -> softmax -> PV, f32.
+
+    Fast path keeps softmax UN-normalized through the PV dot and rescales
+    the (N, Dh) context instead of the (N, N) weights — the row-sum is an
+    MXU ones-matvec and the divide is one approximate reciprocal on a
+    (N, 1) column (exact same math by linearity of the PV product)."""
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s + bias
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    if fast:
+        N = p.shape[-1]
+        ones = jnp.ones((N, 1), jnp.float32)
+        rowsum = jax.lax.dot_general(p, ones, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        ctx = jax.lax.dot_general(p.astype(v.dtype), v,
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        return ctx * pl.reciprocal(rowsum, approx=True)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    return jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def _full_kernel(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref,
                  bproj_ref, ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref,
                  b2_ref, bias_ref, o_ref, ctx_ref, *, scale: float,
-                 num_heads: int, window_n: int):
+                 num_heads: int, window_n: int, fast: bool = False):
     """x block is 2-D (G*N, C): the big matmuls (qkv / proj / MLP) run with
     M = G*N rows — near-full MXU row utilization — and the attention core
     slices per-window rows out of the qkv VALUE (plain 2-D slices, no
@@ -438,7 +539,7 @@ def _full_kernel(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref,
                                    preferred_element_type=jnp.float32)
 
     X = x_ref[:].astype(jnp.float32)                        # (G*N, C)
-    H1 = _ln(X, ln1s_ref[:], ln1b_ref[:])
+    H1 = _ln(X, ln1s_ref[:], ln1b_ref[:], fast=fast)
     QKV = dot(H1.astype(x_ref.dtype), wqkv_ref[:])
     QKV = (QKV + bqkv_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
 
@@ -448,26 +549,16 @@ def _full_kernel(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref,
             q = rows[:, hh * Dh:(hh + 1) * Dh].astype(jnp.float32) * scale
             k = rows[:, C + hh * Dh:C + (hh + 1) * Dh].astype(jnp.float32)
             v = rows[:, 2 * C + hh * Dh:2 * C + (hh + 1) * Dh]
-            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            s = s + bias_ref[g % Gb, hh]
-            s = s - jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
-            ctx = jax.lax.dot_general(p.astype(v.dtype), v,
-                                      (((1,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
+            ctx = _attend(q, k, v, bias_ref[g % Gb, hh], fast)
             ctx_ref[g * N:(g + 1) * N, hh * Dh:(hh + 1) * Dh] = \
                 ctx.astype(ctx_ref.dtype)
 
     attn = dot(ctx_ref[:], wproj_ref[:])
     res1 = X + attn + bproj_ref[:].astype(jnp.float32)
-    H2 = _ln(res1, ln2s_ref[:], ln2b_ref[:])
+    H2 = _ln(res1, ln2s_ref[:], ln2b_ref[:], fast=fast)
     m = dot(H2.astype(x_ref.dtype), w1_ref[:])
     m = m + b1_ref[:].astype(jnp.float32)
-    # exact-GELU via the A&S erf approximation (1.5e-7, far below bf16
-    # resolution); jax.nn.gelu's erf/erfc aren't lowerable in Mosaic
-    m = 0.5 * m * (1.0 + _erf_approx(m * 0.7071067811865476))
+    m = _gelu_exact(m, fast)
     mlp = dot(m.astype(x_ref.dtype), w2_ref[:])
     o_ref[:] = (res1 + mlp + b2_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
 
@@ -475,7 +566,7 @@ def _full_kernel(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref,
 def _full_kernel_windows(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
                          wproj_ref, bproj_ref, ln2s_ref, ln2b_ref, w1_ref,
                          b1_ref, w2_ref, b2_ref, bias_ref, o_ref, ctx_ref, *,
-                         scale: float, num_heads: int):
+                         scale: float, num_heads: int, fast: bool = False):
     """3-D fallback: per-window dots (used when G*N can't be 8-aligned,
     e.g. shifted stage-3 blocks where nWb=4 and N=49)."""
     G, N, C = x_ref.shape
@@ -498,9 +589,7 @@ def _full_kernel_windows(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
             s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
             s = s + bias_ref[g % Gb, hh]
-            s = s - jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            p = _softmax_rows(s, fast)
             ctx = jax.lax.dot_general(p.astype(v.dtype), v,
                                       (((1,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
@@ -513,7 +602,7 @@ def _full_kernel_windows(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
         h2 = _ln(res1, ln2s_ref[:], ln2b_ref[:])
         m = dot(h2.astype(x_ref.dtype), w1_ref[:])
         m = m + b1_ref[:].astype(jnp.float32)
-        m = 0.5 * m * (1.0 + _erf_approx(m * 0.7071067811865476))
+        m = _gelu_exact(m, fast)
         mlp = dot(m.astype(x_ref.dtype), w2_ref[:])
         o_ref[g] = (res1 + mlp
                     + b2_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
@@ -552,7 +641,8 @@ def _full_forward_windows(x, params, bias, *, scale, num_heads, group,
     x_spec = pl.BlockSpec((G, N, C), x_map, memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_full_kernel_windows, scale=scale,
-                          num_heads=num_heads),
+                          num_heads=num_heads,
+                          fast=(x.dtype == jnp.bfloat16 and not interpret)),
         grid=grid,
         in_specs=[x_spec] + [const_spec(p.shape) for p in params]
         + [bias_spec],
@@ -567,9 +657,23 @@ def _full_forward(x, params, bias, *, scale, num_heads, group, interpret):
     """params: tuple (ln1s, ln1b, wqkv, bqkv, wproj, bproj, ln2s, ln2b,
     w1, b1, w2, b2).  x: (BW, N, C) windows.
 
-    Prefers the 2-D (G*N, C) layout (big MXU dots) when a group size G
-    exists with G*N % 8 == 0 (Mosaic block constraint), G | BW and
-    G | nWb; otherwise uses the per-window 3-D kernel."""
+    Adjacent windows are first paired into block-diagonal (2N, 2N)
+    attention groups when N <= 64 (fills the 128-lane tile; numerically
+    exact — see :func:`_merge_window_pairs`), then the kernel prefers the
+    2-D (G*N, C) layout (big MXU dots) when a group size G exists with
+    G*N % 8 == 0 (Mosaic block constraint), G | BW and G | nWb; otherwise
+    it pads N to a multiple of 8 or falls back to the per-window 3-D
+    kernel."""
+    orig_shape = x.shape
+    x, bias, merged = _merge_window_pairs(x, bias)
+    out = _full_forward_inner(x, params, bias, scale=scale,
+                              num_heads=num_heads, group=group,
+                              interpret=interpret)
+    return out.reshape(orig_shape) if merged else out
+
+
+def _full_forward_inner(x, params, bias, *, scale, num_heads, group,
+                        interpret):
     BW, N, C = x.shape
     nWb = bias.shape[0]
     G = group
@@ -626,7 +730,8 @@ def _full_forward(x, params, bias, *, scale, num_heads, group, interpret):
     x_spec = pl.BlockSpec((G * N, C), x_map, memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_full_kernel, scale=scale, num_heads=num_heads,
-                          window_n=N),
+                          window_n=N,
+                          fast=(x.dtype == jnp.bfloat16 and not interpret)),
         grid=grid,
         in_specs=[x_spec] + [const_spec(p.shape) for p in params]
         + [bias_spec],
