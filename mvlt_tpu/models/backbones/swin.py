@@ -310,6 +310,18 @@ class SwinBlock(nn.Module):
 
         xm = x.reshape(B, H, W, C)
         if shift > 0:
+            from mvlt_tpu.ops.pallas_attn import shift_kernel_feasible
+            if shift_kernel_feasible(H, W, window, C, B):
+                # Fold the cyclic roll into the kernel: input/output stay in
+                # UNSHIFTED window layout, so the XLA partition/reverse of
+                # adjacent blocks cancel to identity and no roll HBM passes
+                # remain (reference torch.roll, visual_feature_extractor.py
+                # :361,378).
+                windows = window_partition(xm, window).astype(cdt)
+                out = swin_full_block(windows, params, combined, scale, nH,
+                                      interpret=interpret,
+                                      shift_spec=(H, W, window, shift))
+                return window_reverse(out, window, H, W).reshape(B, H * W, C)
             xm = jnp.roll(xm, shift=(-shift, -shift), axis=(1, 2))
         windows = window_partition(xm, window).astype(cdt)
         out = swin_full_block(windows, params, combined, scale, nH,

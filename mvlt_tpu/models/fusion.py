@@ -68,7 +68,7 @@ class SelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, hidden, bias, cache_kv=None, write_pos=None,
-                 deterministic: bool = True):
+                 deterministic: bool = True, need_kv: bool = False):
         cfg = self.config
         B, S, H = hidden.shape
         nH, Dh = cfg.num_attention_heads, cfg.head_dim
@@ -85,20 +85,22 @@ class SelfAttention(nn.Module):
         out_dense = nn.Dense(H, kernel_init=normal_init(cfg.initializer_range),
                              dtype=self.dtype, name="out")
 
-        # Fused Pallas path for bidirectional (key-only bias) attention.
-        # Measured on v5e: throughput-NEUTRAL vs XLA (10.6ms either way at
-        # b64 — this encoder is matmul-dominated and XLA already fuses the
-        # bias/softmax chain), so it is opt-in via MVLT_FUSED_SEQ_ATTN=1;
-        # kept as working infrastructure for the round-2 decode kernel.
+        # Fused Pallas path for bidirectional (key-only bias) attention:
+        # qkv -> per-sample attention -> proj -> +residual -> LN in one
+        # kernel (the post-LN attention half of the BERT block).  Active on
+        # TPU for the deterministic non-cached case; the seq2seq (UniLM)
+        # mask is per-query and stays on the XLA path.  Opt out with
+        # MVLT_NO_FUSED_ENCODER=1.
         drop_active = cfg.attention_probs_dropout_prob > 0.0 and not deterministic
         key_only_bias = bias is not None and bias.ndim == 4 and bias.shape[1] == 1 \
             and bias.shape[2] == 1
         import os
         if (cache_kv is None and key_only_bias and not drop_active
+                and deterministic and not need_kv
                 and not self.is_initializing()
-                and os.environ.get("MVLT_FUSED_SEQ_ATTN")
+                and not os.environ.get("MVLT_NO_FUSED_ENCODER")
                 and jax.default_backend() == "tpu"):
-            from mvlt_tpu.ops.pallas_attn import fused_seq_attention
+            from mvlt_tpu.ops.pallas_attn import fused_attn_ln
             cdt = self.dtype or hidden.dtype
             gv = lambda n: self.get_variable("params", n)
             wqkv = jnp.concatenate(
@@ -106,14 +108,13 @@ class SelfAttention(nn.Module):
                 axis=1).astype(cdt)
             bqkv = jnp.concatenate(
                 [gv(n)["bias"] for n in ("query", "key", "value")]).astype(cdt)
-            ctx_out = fused_seq_attention(
+            ln = self.get_variable("params", "out_layernorm")
+            out = fused_attn_ln(
                 hidden.astype(cdt), wqkv, bqkv,
                 gv("out")["kernel"].astype(cdt), gv("out")["bias"].astype(cdt),
-                bias[:, 0, 0, :], Dh ** -0.5, nH)
-            ctx_out = nn.Dropout(cfg.hidden_dropout_prob)(
-                ctx_out, deterministic=deterministic)
-            out = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
-                               name="out_layernorm")(ctx_out + hidden)
+                bias[:, 0, 0, :], ln["scale"].astype(jnp.float32),
+                ln["bias"].astype(jnp.float32), Dh ** -0.5, nH,
+                cfg.layer_norm_eps)
             return out, None, None
 
         q = heads(q_dense(hidden))
@@ -152,17 +153,42 @@ class EncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, hidden, bias, cache_kv=None, write_pos=None,
-                 deterministic: bool = True):
+                 deterministic: bool = True, need_kv: bool = False):
         cfg = self.config
         attn_out, kv, new_cache = SelfAttention(cfg, self.dtype, name="attention")(
-            hidden, bias, cache_kv, write_pos, deterministic)
-        inter = nn.Dense(cfg.intermediate_size,
-                         kernel_init=normal_init(cfg.initializer_range),
-                         dtype=self.dtype, name="intermediate")(attn_out)
-        inter = gelu_exact(inter)
-        out = nn.Dense(cfg.hidden_size,
-                       kernel_init=normal_init(cfg.initializer_range),
-                       dtype=self.dtype, name="output")(inter)
+            hidden, bias, cache_kv, write_pos, deterministic, need_kv)
+
+        inter_dense = nn.Dense(cfg.intermediate_size,
+                               kernel_init=normal_init(cfg.initializer_range),
+                               dtype=self.dtype, name="intermediate")
+        out_dense = nn.Dense(cfg.hidden_size,
+                             kernel_init=normal_init(cfg.initializer_range),
+                             dtype=self.dtype, name="output")
+
+        # Fused post-LN MLP half (fc1 -> GELU -> fc2 -> +res -> LN) on TPU
+        # for the deterministic full-sequence case; decode steps (T<=2
+        # rows) are too small to benefit and stay on XLA.
+        import os
+        if (deterministic and cache_kv is None
+                and not self.is_initializing()
+                and not os.environ.get("MVLT_NO_FUSED_ENCODER")
+                and jax.default_backend() == "tpu"):
+            from mvlt_tpu.ops.pallas_attn import fused_mlp_ln
+            cdt = self.dtype or attn_out.dtype
+            gv = lambda n: self.get_variable("params", n)
+            ln = gv("output_layernorm")
+            out = fused_mlp_ln(
+                attn_out.astype(cdt),
+                gv("intermediate")["kernel"].astype(cdt),
+                gv("intermediate")["bias"].astype(cdt),
+                gv("output")["kernel"].astype(cdt),
+                gv("output")["bias"].astype(cdt),
+                ln["scale"].astype(jnp.float32),
+                ln["bias"].astype(jnp.float32), cfg.layer_norm_eps)
+            return out, kv, new_cache
+
+        inter = gelu_exact(inter_dense(attn_out))
+        out = out_dense(inter)
         out = nn.Dropout(cfg.hidden_dropout_prob)(out, deterministic=deterministic)
         out = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                            name="output_layernorm")(out + attn_out)
@@ -207,8 +233,9 @@ class FusionEncoder(nn.Module):
                                               dtype=self.dtype, name="token_type_embeddings")
         layer_cls = EncoderLayer
         if self.remat:
-            # args: (self, hidden, bias, cache_kv, write_pos, deterministic)
-            layer_cls = nn.remat(EncoderLayer, static_argnums=(5,))
+            # args: (self, hidden, bias, cache_kv, write_pos,
+            #        deterministic, need_kv)
+            layer_cls = nn.remat(EncoderLayer, static_argnums=(5, 6))
         self.layers = [layer_cls(cfg, self.dtype, name=f"layer_{i}")
                        for i in range(cfg.num_hidden_layers)]
         if self.add_pooling_layer:
@@ -251,7 +278,8 @@ class FusionEncoder(nn.Module):
         hidden = emb
         kvs = []
         for layer in self.layers:
-            hidden, kv, _ = layer(hidden, bias, None, None, deterministic)
+            hidden, kv, _ = layer(hidden, bias, None, None, deterministic,
+                                  return_kv)
             if return_kv:
                 kvs.append(kv)
 

@@ -197,21 +197,11 @@ def _block_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
         o_ref[g] = out.astype(o_ref.dtype)
 
 
-def _merge_window_pairs(x, bias):
-    """Pair adjacent windows into one block-diagonal attention group.
-
-    With N <= 64 the (N, N) score tile wastes >half of the 128-lane MXU/VPU
-    tile; a merged (2N, 2N) block-diagonal attention fills it.  Off-diagonal
-    entries get a -1e9 bias, so softmax rows are numerically EXACT: the row
-    max is unaffected and exp(-1e9 - max) == 0.  Pairing is contiguous in
-    the window axis, so x just reshapes (BW, N, C) -> (BW/2, 2N, C) — free.
-
-    Returns (x', bias', merged: bool)."""
-    BW, N, C = x.shape
-    nWb = bias.shape[0]
-    if N > 64 or BW % 2 != 0 or (nWb > 1 and nWb % 2 != 0):
-        return x, bias, False
-    nH = bias.shape[1]
+def _merge_bias_pairs(bias):
+    """Block-diagonal merge of adjacent windows' bias patterns:
+    (nWb, nH, N, N) -> (max(nWb//2,1), nH, 2N, 2N) with -1e9 off-diagonal
+    (exact: the row max is unaffected and exp(-1e9 - max) == 0)."""
+    nWb, nH, N, _ = bias.shape
     neg = jnp.full((1 if nWb == 1 else nWb // 2, nH, 2 * N, 2 * N), -1e9,
                    bias.dtype)
     if nWb == 1:
@@ -219,8 +209,21 @@ def _merge_window_pairs(x, bias):
     else:
         b = bias.reshape(nWb // 2, 2, nH, N, N)
         top, bot = b[:, 0], b[:, 1]
-    merged = neg.at[:, :, :N, :N].set(top).at[:, :, N:, N:].set(bot)
-    return x.reshape(BW // 2, 2 * N, C), merged, True
+    return neg.at[:, :, :N, :N].set(top).at[:, :, N:, N:].set(bot)
+
+
+def _merge_window_pairs(x, bias):
+    """Pair adjacent windows into one block-diagonal attention group.
+
+    With N <= 64 the (N, N) score tile wastes >half of the 128-lane MXU/VPU
+    tile; a merged (2N, 2N) block-diagonal attention fills it.  Pairing is
+    contiguous in the window axis, so x just reshapes
+    (BW, N, C) -> (BW/2, 2N, C) — free.  Returns (x', bias', merged)."""
+    BW, N, C = x.shape
+    nWb = bias.shape[0]
+    if N > 64 or BW % 2 != 0 or (nWb > 1 and nWb % 2 != 0):
+        return x, bias, False
+    return x.reshape(BW // 2, 2 * N, C), _merge_bias_pairs(bias), True
 
 
 def _block_forward(x, wqkv, bqkv, wproj, bproj, bias, *, scale, num_heads,
@@ -500,13 +503,19 @@ def _attend(q, k, v, bias, fast: bool):
     Fast path keeps softmax UN-normalized through the PV dot and rescales
     the (N, Dh) context instead of the (N, N) weights — the row-sum is an
     MXU ones-matvec and the divide is one approximate reciprocal on a
-    (N, 1) column (exact same math by linearity of the PV product)."""
+    (N, 1) column (exact same math by linearity of the PV product).
+    It also skips the row-max subtraction: softmax is shift-invariant, so
+    the subtraction is pure overflow protection; ``exp(min(s, 60))`` is
+    bit-equivalent in the entire sane-logit range (|s| <= 60 covers any
+    trained model at head-dim scaling; e^60 * N ~ 1e28 is far from f32
+    overflow) and saturating beyond only flattens an already-one-hot row.
+    The ``max(rowsum, 1e-30)`` guard keeps fully-masked (padded) rows
+    finite.  The f32/interpret path is the exact textbook softmax."""
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
     s = s + bias
-    s = s - jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s)
     if fast:
+        p = jnp.exp(jnp.minimum(s, 60.0))
         N = p.shape[-1]
         ones = jnp.ones((N, 1), jnp.float32)
         rowsum = jax.lax.dot_general(p, ones, (((1,), (0,)), ((), ())),
@@ -514,23 +523,26 @@ def _attend(q, k, v, bias, fast: bool):
         ctx = jax.lax.dot_general(p.astype(v.dtype), v,
                                   (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
-        return ctx * pl.reciprocal(rowsum, approx=True)
+        return ctx * pl.reciprocal(jnp.maximum(rowsum, 1e-30), approx=True)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
     p = p / jnp.sum(p, axis=-1, keepdims=True)
     return jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
 
 
-def _full_kernel(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref,
-                 bproj_ref, ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref,
-                 b2_ref, bias_ref, o_ref, ctx_ref, *, scale: float,
-                 num_heads: int, window_n: int, fast: bool = False):
-    """x block is 2-D (G*N, C): the big matmuls (qkv / proj / MLP) run with
-    M = G*N rows — near-full MXU row utilization — and the attention core
-    slices per-window rows out of the qkv VALUE (plain 2-D slices, no
-    Mosaic-hostile reshapes)."""
-    GN, C = x_ref.shape
+def _full_body(X, dt, refs, bias_ref, ctx_ref, *, scale, num_heads,
+               window_n, fast):
+    """Shared whole-block math on a 2-D (R, C) f32 value ``X``; the big
+    matmuls (qkv / proj / MLP) run with M = R rows — near-full MXU row
+    utilization — and the attention core slices per-group rows out of the
+    qkv VALUE (plain 2-D slices, no Mosaic-hostile reshapes).  Returns the
+    f32 block output (R, C)."""
+    (ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+     ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref) = refs
+    R, C = X.shape
     N = window_n
-    G = GN // N
+    G = R // N
     Gb = bias_ref.shape[0]
     Dh = C // num_heads
 
@@ -538,10 +550,9 @@ def _full_kernel(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref,
         return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
 
-    X = x_ref[:].astype(jnp.float32)                        # (G*N, C)
     H1 = _ln(X, ln1s_ref[:], ln1b_ref[:], fast=fast)
-    QKV = dot(H1.astype(x_ref.dtype), wqkv_ref[:])
-    QKV = (QKV + bqkv_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
+    QKV = dot(H1.astype(dt), wqkv_ref[:])
+    QKV = (QKV + bqkv_ref[:].astype(jnp.float32)).astype(dt)
 
     for g in range(G):
         rows = QKV[g * N:(g + 1) * N]                       # (N, 3C)
@@ -556,11 +567,150 @@ def _full_kernel(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref,
     attn = dot(ctx_ref[:], wproj_ref[:])
     res1 = X + attn + bproj_ref[:].astype(jnp.float32)
     H2 = _ln(res1, ln2s_ref[:], ln2b_ref[:], fast=fast)
-    m = dot(H2.astype(x_ref.dtype), w1_ref[:])
+    m = dot(H2.astype(dt), w1_ref[:])
     m = m + b1_ref[:].astype(jnp.float32)
     m = _gelu_exact(m, fast)
-    mlp = dot(m.astype(x_ref.dtype), w2_ref[:])
-    o_ref[:] = (res1 + mlp + b2_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+    mlp = dot(m.astype(dt), w2_ref[:])
+    return res1 + mlp + b2_ref[:].astype(jnp.float32)
+
+
+def _full_kernel(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref,
+                 bproj_ref, ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref,
+                 b2_ref, bias_ref, o_ref, ctx_ref, *, scale: float,
+                 num_heads: int, window_n: int, fast: bool = False):
+    refs = (ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+            ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref)
+    X = x_ref[:].astype(jnp.float32)
+    out = _full_body(X, x_ref.dtype, refs, bias_ref, ctx_ref, scale=scale,
+                     num_heads=num_heads, window_n=window_n, fast=fast)
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _shift_runs(H: int, W: int, window: int, shift: int):
+    """Static row-run map from UNSHIFTED window-major token layout to
+    SHIFTED window-major layout for one image (``s[dst] = x[src]``).
+
+    The cyclic roll splits every shifted-window row into at most two
+    contiguous source runs (a column range inside one source window),
+    so the whole permutation is ~2 * windows * window_rows slice copies —
+    cheap VPU work that replaces the XLA-side roll/partition HBM passes
+    (reference visual_feature_extractor.py:361,378 torch.roll)."""
+    runs = []
+    nWw = W // window
+    N = window * window
+
+    def idx(h, w):
+        return ((h // window) * nWw + (w // window)) * N \
+            + (h % window) * window + (w % window)
+
+    for i in range(H // window):
+        for j in range(nWw):
+            for r in range(window):
+                h_s = (i * window + r + shift) % H
+                dst_base = (i * nWw + j) * N + r * window
+                c = 0
+                while c < window:
+                    w_s = (j * window + c + shift) % W
+                    run = 1
+                    while c + run < window:
+                        w_n = (j * window + c + run + shift) % W
+                        if w_n != w_s + run \
+                                or w_n // window != w_s // window:
+                            break
+                        run += 1
+                    runs.append((dst_base + c, idx(h_s, w_s), run))
+                    c += run
+    return tuple(runs)
+
+
+def _full_shift_kernel(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
+                       wproj_ref, bproj_ref, ln2s_ref, ln2b_ref, w1_ref,
+                       b1_ref, w2_ref, b2_ref, bias_ref, o_ref, ctx_ref,
+                       s_ref, *, scale: float, num_heads: int,
+                       window_n: int, runs, img_rows: int, n_img: int,
+                       fast: bool = False):
+    """Shifted (SW-MSA) whole block with the cyclic shift folded in: the
+    input arrives in UNSHIFTED window-major layout; the kernel permutes to
+    the shifted layout in VMEM (static run copies), runs the block, and
+    writes back through the inverse permutation — no XLA roll/partition
+    HBM passes for shifted blocks at all."""
+    refs = (ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+            ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref)
+    for im in range(n_img):
+        b0 = im * img_rows
+        for dst, src_, ln in runs:
+            s_ref[b0 + dst:b0 + dst + ln] = x_ref[b0 + src_:b0 + src_ + ln]
+    X = s_ref[:].astype(jnp.float32)
+    out = _full_body(X, x_ref.dtype, refs, bias_ref, ctx_ref, scale=scale,
+                     num_heads=num_heads, window_n=window_n, fast=fast)
+    outc = out.astype(o_ref.dtype)
+    for im in range(n_img):
+        b0 = im * img_rows
+        for dst, src_, ln in runs:
+            o_ref[b0 + src_:b0 + src_ + ln] = outc[b0 + dst:b0 + dst + ln]
+
+
+def shift_kernel_feasible(H: int, W: int, window: int, C: int,
+                          batch: int) -> bool:
+    """Whether the shift-folded whole-block kernel applies: programs must
+    hold whole images (the roll wraps across the full map), fit the VMEM
+    working set, and keep the unrolled copy-run count sane."""
+    LW = (H // window) * (W // window) * window * window
+    if (H // window) * (W // window) % 2 != 0:   # pattern pairs must tile
+        return False
+    k = 1
+    while (k * LW) % 8 != 0:
+        k *= 2
+    if batch % k != 0:
+        return False
+    if k * LW * C * (4 + 3 + 4) * 4 > 12 * 1024 * 1024:
+        return False
+    return len(_shift_runs(H, W, window, window // 2)) <= 300
+
+
+def _full_forward_shift(x, params, bias, *, scale, num_heads, interpret,
+                        shift_spec):
+    """x: (BW, N, C) UNSHIFTED window-major; bias: (nWb, nH, N, N) shifted
+    patterns.  Requires :func:`shift_kernel_feasible`."""
+    H, W, window, shift = shift_spec
+    BW, N, C = x.shape
+    nW = (H // window) * (W // window)
+    B = BW // nW
+    LW = nW * N
+    k = 1
+    while (k * LW) % 8 != 0:
+        k *= 2
+    runs = _shift_runs(H, W, window, shift)
+
+    bias_m = _merge_bias_pairs(bias)     # (nW//2, nH, 2N, 2N)
+    N2 = 2 * N
+
+    rows = k * LW
+    x2 = x.reshape(BW * N, C)
+    grid = (B // k,)
+    x_spec = pl.BlockSpec((rows, C), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+
+    def const_spec(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _full_shift_kernel, scale=scale, num_heads=num_heads,
+            window_n=N2, runs=runs, img_rows=LW, n_img=k,
+            fast=(x.dtype == jnp.bfloat16 and not interpret)),
+        grid=grid,
+        in_specs=[x_spec] + [const_spec(p.shape) for p in params]
+        + [const_spec(bias_m.shape)],
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
+        scratch_shapes=[pltpu.VMEM((rows, C), x.dtype),
+                        pltpu.VMEM((rows, C), x.dtype)],
+        interpret=interpret,
+    )(x2, *params, bias_m)
+    return out.reshape(BW, N, C)
 
 
 def _full_kernel_windows(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
@@ -758,26 +908,66 @@ def _full_xla_ref(x, params, bias, scale, num_heads):
     return (res1 + mlp.reshape(res1.shape)).astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.lru_cache(maxsize=None)
+def _shift_perm(H, W, window, shift):
+    """Dense permutation (dst -> src) equivalent of :func:`_shift_runs`."""
+    import numpy as _np
+    LW = (H // window) * (W // window) * window * window
+    perm = _np.zeros(LW, _np.int32)
+    for dst, src, ln in _shift_runs(H, W, window, shift):
+        perm[dst:dst + ln] = _np.arange(src, src + ln)
+    return perm
+
+
+def _full_xla_ref_shift(x, params, bias, scale, num_heads, shift_spec):
+    """XLA reference of the shift-folded block: permute to the shifted
+    window layout, run the block, permute back."""
+    H, W, window, shift = shift_spec
+    BW, N, C = x.shape
+    nW = (H // window) * (W // window)
+    perm = jnp.asarray(_shift_perm(H, W, window, shift))
+    xi = x.reshape(-1, nW * N, C)
+    xs = jnp.take(xi, perm, axis=1).reshape(BW, N, C)
+    y = _full_xla_ref(xs, params, bias, scale, num_heads)
+    yi = y.reshape(-1, nW * N, C)
+    inv = jnp.zeros_like(perm).at[perm].set(
+        jnp.arange(perm.shape[0], dtype=perm.dtype))
+    return jnp.take(yi, inv, axis=1).reshape(BW, N, C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def swin_full_block(x, params, bias, scale: float, num_heads: int,
-                    group: int = 16, interpret: bool = False):
+                    group: int = 16, interpret: bool = False,
+                    shift_spec=None):
     """Whole Swin block fused (deterministic path). x: (BW, N, C) RAW
-    windows (pre-LN); params as in :func:`_full_forward`."""
+    windows (pre-LN); params as in :func:`_full_forward`.
+
+    With ``shift_spec=(H, W, window, shift)`` the input must be in
+    UNSHIFTED window-major layout; the cyclic shift is folded into the
+    kernel (caller must check :func:`shift_kernel_feasible`)."""
+    if shift_spec is not None:
+        return _full_forward_shift(x, tuple(params), bias, scale=scale,
+                                   num_heads=num_heads, interpret=interpret,
+                                   shift_spec=shift_spec)
     return _full_forward(x, tuple(params), bias, scale=scale,
                          num_heads=num_heads, group=group,
                          interpret=interpret)
 
 
-def _full_fwd(x, params, bias, scale, num_heads, group, interpret):
-    out = _full_forward(x, tuple(params), bias, scale=scale,
-                        num_heads=num_heads, group=group, interpret=interpret)
+def _full_fwd(x, params, bias, scale, num_heads, group, interpret,
+              shift_spec=None):
+    out = swin_full_block(x, params, bias, scale, num_heads, group,
+                          interpret, shift_spec)
     return out, (x, tuple(params), bias)
 
 
-def _full_bwd(scale, num_heads, group, interpret, res, g):
+def _full_bwd(scale, num_heads, group, interpret, shift_spec, res, g):
     x, params, bias = res
 
     def ref(x, params, bias):
+        if shift_spec is not None:
+            return _full_xla_ref_shift(x, params, bias, scale, num_heads,
+                                       shift_spec)
         return _full_xla_ref(x, params, bias, scale, num_heads)
 
     _, vjp = jax.vjp(ref, x, params, bias)
@@ -806,3 +996,212 @@ def _block_bwd(scale, num_heads, group, interpret, res, g):
 
 
 window_block_attention.defvjp(_block_fwd, _block_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fusion-encoder (BERT) sub-block kernels: post-LN attention and MLP halves.
+# A whole BERT-base block's weights (12*H^2 bf16 = 14.2MB) exceed VMEM, so
+# the block splits at its natural residual boundaries:
+#   attn half: LNout((qkv -> attention(+key bias) -> proj) + x)
+#   mlp half:  LNout((fc2(gelu(fc1(x)))) + x)
+# (reference modules/model.py:28 BertEncoder semantics; HF post-LN layout)
+# ---------------------------------------------------------------------------
+
+def _attn_ln_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+                    kbias_ref, lns_ref, lnb_ref, o_ref, ctx_ref, *,
+                    scale: float, num_heads: int, seq_n: int, eps: float,
+                    fast: bool = False):
+    GN, C = x_ref.shape
+    N = seq_n
+    G = GN // N
+    Dh = C // num_heads
+    base = pl.program_id(0) * G          # kbias is the full (B, N) array
+
+    def dot(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    QKV = dot(x_ref[:], wqkv_ref[:])
+    QKV = (QKV + bqkv_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
+
+    for g in range(G):
+        rows = QKV[g * N:(g + 1) * N]
+        kbias = kbias_ref[base + g][None, :]                 # (1, N) additive
+        for hh in range(num_heads):
+            q = rows[:, hh * Dh:(hh + 1) * Dh].astype(jnp.float32) * scale
+            k = rows[:, C + hh * Dh:C + (hh + 1) * Dh].astype(jnp.float32)
+            v = rows[:, 2 * C + hh * Dh:2 * C + (hh + 1) * Dh]
+            ctx = _attend(q, k, v, kbias, fast)
+            ctx_ref[g * N:(g + 1) * N, hh * Dh:(hh + 1) * Dh] = \
+                ctx.astype(ctx_ref.dtype)
+
+    attn = dot(ctx_ref[:], wproj_ref[:])
+    res = (attn + bproj_ref[:].astype(jnp.float32)
+           + x_ref[:].astype(jnp.float32))
+    o_ref[:] = _ln(res, lns_ref[:], lnb_ref[:], eps=eps,
+                   fast=fast).astype(o_ref.dtype)
+
+
+def _attn_ln_xla_ref(x, wqkv, bqkv, wproj, bproj, kbias, lns, lnb, scale,
+                     num_heads, eps):
+    attn = _seq_attn_xla_ref(x, wqkv, bqkv, wproj, bproj, kbias, scale,
+                             num_heads).astype(jnp.float32)
+    res = attn + x.astype(jnp.float32)
+    return _ln(res, lns, lnb, eps=eps).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def fused_attn_ln(x, wqkv, bqkv, wproj, bproj, kbias, lns, lnb,
+                  scale: float, num_heads: int, eps: float = 1e-12,
+                  group: int = 8, interpret: bool = False):
+    """Post-LN BERT attention half: ``LN(attn(x) + x)``.
+
+    x: (B, N, C); kbias: (B, N) additive key bias (0 / -10000 from
+    masks.mask_to_bias).  Pads N to a multiple of 8 internally (padded
+    keys masked, padded rows sliced off — LN over the padded garbage rows
+    is harmless)."""
+    B, N, C = x.shape
+    N_pad = -(-N // 8) * 8
+    if N_pad != N:
+        x = jnp.pad(x, ((0, 0), (0, N_pad - N), (0, 0)))
+        kbias = jnp.pad(kbias, ((0, 0), (0, N_pad - N)),
+                        constant_values=-1e9)
+
+    G = group
+    while G > 1 and (B % G != 0
+                     or G * N_pad * C * 9 * 4 > 8 * 1024 * 1024):
+        G //= 2
+
+    x2 = x.reshape(B * N_pad, C)
+    grid = (B // G,)
+    x_spec = pl.BlockSpec((G * N_pad, C), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    kb_spec = pl.BlockSpec((B, N_pad), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+
+    def const_spec(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _attn_ln_kernel, scale=scale, num_heads=num_heads, seq_n=N_pad,
+            eps=eps, fast=(x.dtype == jnp.bfloat16 and not interpret)),
+        grid=grid,
+        in_specs=[x_spec, const_spec(wqkv.shape), const_spec(bqkv.shape),
+                  const_spec(wproj.shape), const_spec(bproj.shape), kb_spec,
+                  const_spec(lns.shape), const_spec(lnb.shape)],
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
+        scratch_shapes=[pltpu.VMEM((G * N_pad, C), x.dtype)],
+        interpret=interpret,
+    )(x2, wqkv, bqkv, wproj, bproj, kbias, lns, lnb)
+    return out.reshape(B, N_pad, C)[:, :N]
+
+
+def _attn_ln_fwd(x, wqkv, bqkv, wproj, bproj, kbias, lns, lnb, scale,
+                 num_heads, eps, group, interpret):
+    out = fused_attn_ln(x, wqkv, bqkv, wproj, bproj, kbias, lns, lnb,
+                        scale, num_heads, eps, group, interpret)
+    return out, (x, wqkv, bqkv, wproj, bproj, kbias, lns, lnb)
+
+
+def _attn_ln_bwd(scale, num_heads, eps, group, interpret, res, g):
+    x, wqkv, bqkv, wproj, bproj, kbias, lns, lnb = res
+
+    def ref(x, wqkv, bqkv, wproj, bproj, kbias, lns, lnb):
+        return _attn_ln_xla_ref(x, wqkv, bqkv, wproj, bproj, kbias, lns,
+                                lnb, scale, num_heads, eps)
+
+    _, vjp = jax.vjp(ref, x, wqkv, bqkv, wproj, bproj, kbias, lns, lnb)
+    return vjp(g)
+
+
+fused_attn_ln.defvjp(_attn_ln_fwd, _attn_ln_bwd)
+
+
+def _mlp_ln_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, lns_ref, lnb_ref,
+                   o_ref, *, eps: float, fast: bool = False):
+    def dot(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    m = dot(x_ref[:], w1_ref[:])
+    m = m + b1_ref[:].astype(jnp.float32)
+    m = _gelu_exact(m, fast)
+    out = dot(m.astype(x_ref.dtype), w2_ref[:])
+    res = (out + b2_ref[:].astype(jnp.float32)
+           + x_ref[:].astype(jnp.float32))
+    o_ref[:] = _ln(res, lns_ref[:], lnb_ref[:], eps=eps,
+                   fast=fast).astype(o_ref.dtype)
+
+
+def _mlp_ln_xla_ref(x, w1, b1, w2, b2, lns, lnb, eps):
+    shape = x.shape
+    C = shape[-1]
+    x2 = x.reshape(-1, C)
+    m = jax.nn.gelu((x2 @ w1).astype(jnp.float32) + b1, approximate=False)
+    out = (m.astype(x.dtype) @ w2).astype(jnp.float32) + b2
+    res = out + x2.astype(jnp.float32)
+    return _ln(res, lns, lnb, eps=eps).astype(x.dtype).reshape(shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def fused_mlp_ln(x, w1, b1, w2, b2, lns, lnb, eps: float = 1e-12,
+                 rows: int = 256, interpret: bool = False):
+    """Post-LN BERT MLP half: ``LN(fc2(gelu(fc1(x))) + x)``.
+
+    Rows are independent (no attention), so the grid just chunks the
+    flattened (B*S, C) row dim.  x: (..., C)."""
+    shape = x.shape
+    C = shape[-1]
+    x2 = x.reshape(-1, C)
+    M = x2.shape[0]
+    R = rows
+    while R > 8 and M % R != 0:
+        R //= 2
+    if M % R != 0:                      # awkward row count: pad to 8
+        M_pad = -(-M // 8) * 8
+        x2 = jnp.pad(x2, ((0, M_pad - M), (0, 0)))
+        R = 8
+        while R * 2 <= rows and M_pad % (R * 2) == 0:
+            R *= 2
+        M = M_pad
+
+    grid = (M // R,)
+    x_spec = pl.BlockSpec((R, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    def const_spec(shape_):
+        return pl.BlockSpec(shape_, lambda i: (0,) * len(shape_),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_mlp_ln_kernel, eps=eps,
+                          fast=(x.dtype == jnp.bfloat16 and not interpret)),
+        grid=grid,
+        in_specs=[x_spec, const_spec(w1.shape), const_spec(b1.shape),
+                  const_spec(w2.shape), const_spec(b2.shape),
+                  const_spec(lns.shape), const_spec(lnb.shape)],
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
+        interpret=interpret,
+    )(x2, w1, b1, w2, b2, lns, lnb)
+    return out[:x.size // C].reshape(shape)
+
+
+def _mlp_ln_fwd(x, w1, b1, w2, b2, lns, lnb, eps, rows, interpret):
+    out = fused_mlp_ln(x, w1, b1, w2, b2, lns, lnb, eps, rows, interpret)
+    return out, (x, w1, b1, w2, b2, lns, lnb)
+
+
+def _mlp_ln_bwd(eps, rows, interpret, res, g):
+    x, w1, b1, w2, b2, lns, lnb = res
+
+    def ref(x, w1, b1, w2, b2, lns, lnb):
+        return _mlp_ln_xla_ref(x, w1, b1, w2, b2, lns, lnb, eps)
+
+    _, vjp = jax.vjp(ref, x, w1, b1, w2, b2, lns, lnb)
+    return vjp(g)
+
+
+fused_mlp_ln.defvjp(_mlp_ln_fwd, _mlp_ln_bwd)

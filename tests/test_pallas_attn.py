@@ -179,3 +179,94 @@ def test_fused_seq_attention_matches_ref():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_fused_attn_ln_matches_ref():
+    from mvlt_tpu.ops.pallas_attn import _attn_ln_xla_ref, fused_attn_ln
+    rng = np.random.default_rng(5)
+    B, N, C, nH = 4, 11, 32, 4
+    x = jnp.asarray(rng.normal(size=(B, N, C)) * 0.5, jnp.float32)
+    wqkv = jnp.asarray(rng.normal(size=(C, 3 * C)) * 0.1, jnp.float32)
+    bqkv = jnp.asarray(rng.normal(size=(3 * C,)) * 0.1, jnp.float32)
+    wproj = jnp.asarray(rng.normal(size=(C, C)) * 0.1, jnp.float32)
+    bproj = jnp.asarray(rng.normal(size=(C,)) * 0.1, jnp.float32)
+    kbias = jnp.where(jnp.asarray(rng.random((B, N))) < 0.2, -10000.0, 0.0)
+    lns = jnp.asarray(rng.normal(size=(C,)) * 0.1 + 1.0, jnp.float32)
+    lnb = jnp.asarray(rng.normal(size=(C,)) * 0.1, jnp.float32)
+    scale = (C // nH) ** -0.5
+    got = fused_attn_ln(x, wqkv, bqkv, wproj, bproj, kbias, lns, lnb,
+                        scale, nH, 1e-12, interpret=True)
+    want = _attn_ln_xla_ref(x, wqkv, bqkv, wproj, bproj, kbias, lns, lnb,
+                            scale, nH, 1e-12)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_fused_attn_ln_grad_matches_ref():
+    from mvlt_tpu.ops.pallas_attn import _attn_ln_xla_ref, fused_attn_ln
+    rng = np.random.default_rng(6)
+    B, N, C, nH = 2, 8, 16, 2
+    x = jnp.asarray(rng.normal(size=(B, N, C)) * 0.5, jnp.float32)
+    wqkv = jnp.asarray(rng.normal(size=(C, 3 * C)) * 0.1, jnp.float32)
+    bqkv = jnp.zeros((3 * C,), jnp.float32)
+    wproj = jnp.asarray(rng.normal(size=(C, C)) * 0.1, jnp.float32)
+    bproj = jnp.zeros((C,), jnp.float32)
+    kbias = jnp.zeros((B, N), jnp.float32)
+    lns = jnp.ones((C,), jnp.float32)
+    lnb = jnp.zeros((C,), jnp.float32)
+    scale = (C // nH) ** -0.5
+
+    def loss_kernel(x, wqkv, wproj):
+        return fused_attn_ln(x, wqkv, bqkv, wproj, bproj, kbias, lns, lnb,
+                             scale, nH, 1e-12, interpret=True).sum()
+
+    def loss_ref(x, wqkv, wproj):
+        return _attn_ln_xla_ref(x, wqkv, bqkv, wproj, bproj, kbias, lns,
+                                lnb, scale, nH, 1e-12).sum()
+
+    ga = jax.grad(loss_kernel, argnums=(0, 1, 2))(x, wqkv, wproj)
+    gb = jax.grad(loss_ref, argnums=(0, 1, 2))(x, wqkv, wproj)
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_fused_mlp_ln_matches_ref():
+    from mvlt_tpu.ops.pallas_attn import _mlp_ln_xla_ref, fused_mlp_ln
+    rng = np.random.default_rng(7)
+    B, N, C = 3, 10, 32
+    x = jnp.asarray(rng.normal(size=(B, N, C)) * 0.5, jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(C, 4 * C)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(4 * C,)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(4 * C, C)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(C,)) * 0.1, jnp.float32)
+    lns = jnp.asarray(rng.normal(size=(C,)) * 0.1 + 1.0, jnp.float32)
+    lnb = jnp.asarray(rng.normal(size=(C,)) * 0.1, jnp.float32)
+    got = fused_mlp_ln(x, w1, b1, w2, b2, lns, lnb, 1e-12, interpret=True)
+    want = _mlp_ln_xla_ref(x, w1, b1, w2, b2, lns, lnb, 1e-12)
+    assert got.shape == x.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_fused_mlp_ln_grad_matches_ref():
+    from mvlt_tpu.ops.pallas_attn import _mlp_ln_xla_ref, fused_mlp_ln
+    rng = np.random.default_rng(8)
+    B, N, C = 2, 8, 16
+    x = jnp.asarray(rng.normal(size=(B, N, C)) * 0.5, jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(C, 4 * C)) * 0.1, jnp.float32)
+    b1 = jnp.zeros((4 * C,), jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(4 * C, C)) * 0.1, jnp.float32)
+    b2 = jnp.zeros((C,), jnp.float32)
+    lns = jnp.ones((C,), jnp.float32)
+    lnb = jnp.zeros((C,), jnp.float32)
+
+    ga = jax.grad(lambda x, w1, w2: fused_mlp_ln(
+        x, w1, b1, w2, b2, lns, lnb, 1e-12, interpret=True).sum(),
+        argnums=(0, 1, 2))(x, w1, w2)
+    gb = jax.grad(lambda x, w1, w2: _mlp_ln_xla_ref(
+        x, w1, b1, w2, b2, lns, lnb, 1e-12).sum(),
+        argnums=(0, 1, 2))(x, w1, w2)
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
