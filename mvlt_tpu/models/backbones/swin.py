@@ -239,6 +239,16 @@ class SwinBlock(nn.Module):
         if full_ok:
             return self._fused_full_block(x, window, shift,
                                           interpret=(impl == "interpret_full"))
+        # Wide stages (e.g. Swin-S stage 4, C=768): whole-block weights
+        # exceed VMEM, but the block still fuses as pre-LN HALVES split at
+        # its residual boundaries (attn half 4C^2, MLP half 8C^2 weights).
+        half_ok = not self.is_initializing() and deterministic and (
+            impl == "interpret_half"
+            or (impl == "auto" and jax.default_backend() == "tpu"
+                and not weights_fit and 8 * C * C * 2 <= 12 * 1024 * 1024))
+        if half_ok:
+            return self._fused_half_blocks(
+                x, window, shift, interpret=(impl == "interpret_half"))
 
         shortcut = x
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
@@ -327,6 +337,58 @@ class SwinBlock(nn.Module):
         out = swin_full_block(windows, params, combined, scale, nH,
                               interpret=interpret)
         xm = window_reverse(out, window, H, W)
+        if shift > 0:
+            xm = jnp.roll(xm, shift=(shift, shift), axis=(1, 2))
+        return xm.reshape(B, H * W, C)
+
+    def _fused_half_blocks(self, x, window: int, shift: int,
+                           interpret: bool) -> jnp.ndarray:
+        """Pre-LN half-block Pallas path (deterministic, wide channels)."""
+        from mvlt_tpu.ops.pallas_attn import fused_mlp_preln, swin_attn_half
+
+        H, W = self.input_resolution
+        B, L, C = x.shape
+        nH = self.num_heads
+        scale = self.qk_scale or (C // nH) ** -0.5
+        cdt = self.dtype or x.dtype
+
+        gv = lambda name: self.get_variable("params", name)
+        attn_p = gv("attn")
+        table = attn_p["relative_position_bias_table"]
+        idx = relative_position_index(window, window)
+        N = window * window
+        rel = table[idx.reshape(-1)].reshape(N, N, nH).transpose(2, 0, 1)
+        combined = rel[None].astype(jnp.float32)
+        if shift > 0:
+            combined = combined + jnp.asarray(
+                shifted_window_mask(H, W, window, shift))[:, None]
+
+        xm = x.reshape(B, H, W, C)
+        if shift > 0:
+            xm = jnp.roll(xm, shift=(-shift, -shift), axis=(1, 2))
+        windows = window_partition(xm, window).astype(cdt)
+
+        y = swin_attn_half(
+            windows,
+            gv("norm1")["scale"].astype(jnp.float32),
+            gv("norm1")["bias"].astype(jnp.float32),
+            attn_p["qkv"]["kernel"].astype(cdt),
+            attn_p["qkv"]["bias"].astype(cdt),
+            attn_p["proj"]["kernel"].astype(cdt),
+            attn_p["proj"]["bias"].astype(cdt),
+            combined, scale, nH, interpret=interpret)
+
+        y = fused_mlp_preln(
+            y,
+            gv("norm2")["scale"].astype(jnp.float32),
+            gv("norm2")["bias"].astype(jnp.float32),
+            gv("mlp")["fc1"]["kernel"].astype(cdt),
+            gv("mlp")["fc1"]["bias"].astype(cdt),
+            gv("mlp")["fc2"]["kernel"].astype(cdt),
+            gv("mlp")["fc2"]["bias"].astype(cdt),
+            interpret=interpret)
+
+        xm = window_reverse(y, window, H, W)
         if shift > 0:
             xm = jnp.roll(xm, shift=(shift, shift), axis=(1, 2))
         return xm.reshape(B, H * W, C)

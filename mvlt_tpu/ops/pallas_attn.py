@@ -233,6 +233,10 @@ def _block_forward(x, wqkv, bqkv, wproj, bproj, bias, *, scale, num_heads,
     BW, N, C = x.shape
     nWb = bias.shape[0]
     G = max(group // 2, 1) if merged else group  # keep rows/program constant
+    # VMEM: x/ctx/out blocks (bf16, in+out double-buffered) + per-window
+    # f32 qkv rows; cap the block working set so wide-C callers shrink G
+    while G > 1 and G * N * C * 10 > 6 * 1024 * 1024:
+        G //= 2
     while BW % G != 0 or (nWb > 1 and nWb % G != 0):
         G //= 2
     G = max(G, 1)
@@ -822,6 +826,9 @@ def _full_forward(x, params, bias, *, scale, num_heads, group, interpret):
     return out.reshape(orig_shape) if merged else out
 
 
+_VMEM_CAP = 8 * 1024 * 1024
+
+
 def _full_forward_inner(x, params, bias, *, scale, num_heads, group,
                         interpret):
     BW, N, C = x.shape
@@ -829,7 +836,7 @@ def _full_forward_inner(x, params, bias, *, scale, num_heads, group,
     G = group
     # VMEM budget: the dominant in-kernel value is the (G*N, 4C) f32 MLP
     # intermediate; cap it (plus qkv + x blocks) around ~8MB
-    while G > 1 and G * N * C * (4 + 3 + 4) * 4 > 8 * 1024 * 1024:
+    while G > 1 and G * N * C * (4 + 3 + 4) * 4 > _VMEM_CAP:
         G //= 2
     while G > 1 and (BW % G != 0 or (nWb > 1 and nWb % G != 0)
                      or (G * N) % 8 != 0):
@@ -1205,3 +1212,227 @@ def _mlp_ln_bwd(eps, rows, interpret, res, g):
 
 
 fused_mlp_ln.defvjp(_mlp_ln_fwd, _mlp_ln_bwd)
+
+
+# ---------------------------------------------------------------------------
+# pre-LN Swin block halves for wide stages whose FULL block weights exceed
+# VMEM (Swin-S stage 4: 12*768^2 bf16 = 14.2MB).  The block splits at its
+# residual boundaries; each half's weights (4C^2 / 8C^2) fit comfortably.
+#   attn half: x + proj(window_attention(qkv(LN1(x))))
+#   mlp half:  y + fc2(gelu(fc1(LN2(y))))
+# ---------------------------------------------------------------------------
+
+def _attn_half_kernel(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
+                      wproj_ref, bproj_ref, bias_ref, o_ref, ctx_ref, *,
+                      scale: float, num_heads: int, window_n: int,
+                      fast: bool = False):
+    GN, C = x_ref.shape
+    N = window_n
+    G = GN // N
+    Gb = bias_ref.shape[0]
+    Dh = C // num_heads
+
+    def dot(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    X = x_ref[:].astype(jnp.float32)
+    H1 = _ln(X, ln1s_ref[:], ln1b_ref[:], fast=fast)
+    QKV = dot(H1.astype(x_ref.dtype), wqkv_ref[:])
+    QKV = (QKV + bqkv_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
+    for g in range(G):
+        rows = QKV[g * N:(g + 1) * N]
+        for hh in range(num_heads):
+            q = rows[:, hh * Dh:(hh + 1) * Dh].astype(jnp.float32) * scale
+            k = rows[:, C + hh * Dh:C + (hh + 1) * Dh].astype(jnp.float32)
+            v = rows[:, 2 * C + hh * Dh:2 * C + (hh + 1) * Dh]
+            ctx = _attend(q, k, v, bias_ref[g % Gb, hh], fast)
+            ctx_ref[g * N:(g + 1) * N, hh * Dh:(hh + 1) * Dh] = \
+                ctx.astype(ctx_ref.dtype)
+    attn = dot(ctx_ref[:], wproj_ref[:])
+    o_ref[:] = (X + attn
+                + bproj_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _attn_half_xla_ref(x, ln1s, ln1b, wqkv, bqkv, wproj, bproj, bias,
+                       scale, num_heads):
+    xf = x.astype(jnp.float32)
+    h = _ln(xf, ln1s, ln1b).astype(x.dtype)
+    attn = _block_xla_ref(h, wqkv, bqkv, wproj, bproj, bias, scale,
+                          num_heads).astype(jnp.float32)
+    return (xf + attn).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def swin_attn_half(x, ln1s, ln1b, wqkv, bqkv, wproj, bproj, bias,
+                   scale: float, num_heads: int, group: int = 16,
+                   interpret: bool = False):
+    """Pre-LN Swin attention half: ``x + proj(attn(qkv(LN1(x))))``.
+    x: (BW, N, C) windows; adjacent windows merge into block-diagonal
+    pairs exactly as in :func:`swin_full_block`."""
+    orig_shape = x.shape
+    x, bias, merged = _merge_window_pairs(x, bias)
+    BW, N, C = x.shape
+    nWb = bias.shape[0]
+    G = max(group // 2, 1) if merged else group
+    # tight budget: the half-block weights (4C^2 bf16) already take a big
+    # VMEM bite at wide C, so the value working set gets only ~4MB
+    while G > 1 and ((G * N) % 8 != 0 or BW % G != 0
+                     or (nWb > 1 and nWb % G != 0)
+                     or G * N * C * (4 + 3 + 2) * 4 > 4 * 1024 * 1024):
+        G //= 2
+    if (G * N) % 8 != 0 or BW % G != 0 or (nWb > 1 and nWb % G != 0):
+        out = _block_forward_with_ln_fallback(
+            x, ln1s, ln1b, wqkv, bqkv, wproj, bproj, bias, scale,
+            num_heads, interpret)
+        return out.reshape(orig_shape) if merged else out
+
+    x2 = x.reshape(BW * N, C)
+    grid = (BW // G,)
+    x_spec = pl.BlockSpec((G * N, C), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    if nWb > 1:
+        bias_spec = pl.BlockSpec(bias.shape,
+                                 lambda i: (0,) * bias.ndim,
+                                 memory_space=pltpu.VMEM)
+    else:
+        bias_spec = pl.BlockSpec(bias.shape, lambda i: (0,) * bias.ndim,
+                                 memory_space=pltpu.VMEM)
+
+    def const_spec(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _attn_half_kernel, scale=scale, num_heads=num_heads,
+            window_n=N, fast=(x.dtype == jnp.bfloat16 and not interpret)),
+        grid=grid,
+        in_specs=[x_spec, const_spec(ln1s.shape), const_spec(ln1b.shape),
+                  const_spec(wqkv.shape), const_spec(bqkv.shape),
+                  const_spec(wproj.shape), const_spec(bproj.shape),
+                  bias_spec],
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
+        scratch_shapes=[pltpu.VMEM((G * N, C), x.dtype)],
+        interpret=interpret,
+    )(x2, ln1s, ln1b, wqkv, bqkv, wproj, bproj, bias)
+    out = out.reshape(BW, N, C)
+    return out.reshape(orig_shape) if merged else out
+
+
+def _block_forward_with_ln_fallback(x, ln1s, ln1b, wqkv, bqkv, wproj,
+                                    bproj, bias, scale, num_heads,
+                                    interpret):
+    """XLA LN/residual around the (already merged) attention-only kernel."""
+    xf = x.astype(jnp.float32)
+    h = _ln(xf, ln1s, ln1b).astype(x.dtype)
+    attn = _block_forward(h, wqkv, bqkv, wproj, bproj, bias, scale=scale,
+                          num_heads=num_heads, group=16,
+                          interpret=interpret)
+    return (xf + attn.astype(jnp.float32)).astype(x.dtype)
+
+
+def _attn_half_fwd(x, ln1s, ln1b, wqkv, bqkv, wproj, bproj, bias, scale,
+                   num_heads, group, interpret):
+    out = swin_attn_half(x, ln1s, ln1b, wqkv, bqkv, wproj, bproj, bias,
+                         scale, num_heads, group, interpret)
+    return out, (x, ln1s, ln1b, wqkv, bqkv, wproj, bproj, bias)
+
+
+def _attn_half_bwd(scale, num_heads, group, interpret, res, g):
+    x, ln1s, ln1b, wqkv, bqkv, wproj, bproj, bias = res
+
+    def ref(x, ln1s, ln1b, wqkv, bqkv, wproj, bproj, bias):
+        return _attn_half_xla_ref(x, ln1s, ln1b, wqkv, bqkv, wproj, bproj,
+                                  bias, scale, num_heads)
+
+    _, vjp = jax.vjp(ref, x, ln1s, ln1b, wqkv, bqkv, wproj, bproj, bias)
+    return vjp(g)
+
+
+swin_attn_half.defvjp(_attn_half_fwd, _attn_half_bwd)
+
+
+def _mlp_preln_kernel(x_ref, ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref,
+                      b2_ref, o_ref, *, fast: bool = False):
+    def dot(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    X = x_ref[:].astype(jnp.float32)
+    h = _ln(X, ln2s_ref[:], ln2b_ref[:], fast=fast)
+    m = dot(h.astype(x_ref.dtype), w1_ref[:])
+    m = m + b1_ref[:].astype(jnp.float32)
+    m = _gelu_exact(m, fast)
+    out = dot(m.astype(x_ref.dtype), w2_ref[:])
+    o_ref[:] = (X + out + b2_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _mlp_preln_xla_ref(x, ln2s, ln2b, w1, b1, w2, b2):
+    shape = x.shape
+    C = shape[-1]
+    xf = x.reshape(-1, C).astype(jnp.float32)
+    h = _ln(xf, ln2s, ln2b).astype(x.dtype)
+    m = jax.nn.gelu((h @ w1).astype(jnp.float32) + b1, approximate=False)
+    out = (m.astype(x.dtype) @ w2).astype(jnp.float32) + b2
+    return (xf + out).astype(x.dtype).reshape(shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def fused_mlp_preln(x, ln2s, ln2b, w1, b1, w2, b2, rows: int = 128,
+                    interpret: bool = False):
+    """Pre-LN MLP half: ``x + fc2(gelu(fc1(LN2(x))))``; row-chunked grid
+    (rows are independent)."""
+    shape = x.shape
+    C = shape[-1]
+    x2 = x.reshape(-1, C)
+    M = x2.shape[0]
+    R = rows
+    while R > 8 and M % R != 0:
+        R //= 2
+    if M % R != 0:
+        M_pad = -(-M // 8) * 8
+        x2 = jnp.pad(x2, ((0, M_pad - M), (0, 0)))
+        R = 8
+        while R * 2 <= rows and M_pad % (R * 2) == 0:
+            R *= 2
+        M = M_pad
+
+    grid = (M // R,)
+    x_spec = pl.BlockSpec((R, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    def const_spec(shape_):
+        return pl.BlockSpec(shape_, lambda i: (0,) * len(shape_),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_mlp_preln_kernel,
+                          fast=(x.dtype == jnp.bfloat16 and not interpret)),
+        grid=grid,
+        in_specs=[x_spec, const_spec(ln2s.shape), const_spec(ln2b.shape),
+                  const_spec(w1.shape), const_spec(b1.shape),
+                  const_spec(w2.shape), const_spec(b2.shape)],
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
+        interpret=interpret,
+    )(x2, ln2s, ln2b, w1, b1, w2, b2)
+    return out[:x.size // C].reshape(shape)
+
+
+def _mlp_preln_fwd(x, ln2s, ln2b, w1, b1, w2, b2, rows, interpret):
+    out = fused_mlp_preln(x, ln2s, ln2b, w1, b1, w2, b2, rows, interpret)
+    return out, (x, ln2s, ln2b, w1, b1, w2, b2)
+
+
+def _mlp_preln_bwd(rows, interpret, res, g):
+    x, ln2s, ln2b, w1, b1, w2, b2 = res
+
+    def ref(x, ln2s, ln2b, w1, b1, w2, b2):
+        return _mlp_preln_xla_ref(x, ln2s, ln2b, w1, b1, w2, b2)
+
+    _, vjp = jax.vjp(ref, x, ln2s, ln2b, w1, b1, w2, b2)
+    return vjp(g)
+
+
+fused_mlp_preln.defvjp(_mlp_preln_fwd, _mlp_preln_bwd)

@@ -270,3 +270,68 @@ def test_fused_mlp_ln_grad_matches_ref():
     for a, b in zip(ga, gb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_swin_attn_half_matches_ref():
+    from mvlt_tpu.ops.pallas_attn import _attn_half_xla_ref, swin_attn_half
+    rng = np.random.default_rng(9)
+    BW, N, C, nH = 6, 16, 32, 4
+    x = jnp.asarray(rng.normal(size=(BW, N, C)) * 0.5, jnp.float32)
+    ln1s = jnp.asarray(rng.normal(size=(C,)) * 0.1 + 1.0, jnp.float32)
+    ln1b = jnp.asarray(rng.normal(size=(C,)) * 0.1, jnp.float32)
+    wqkv = jnp.asarray(rng.normal(size=(C, 3 * C)) * 0.1, jnp.float32)
+    bqkv = jnp.asarray(rng.normal(size=(3 * C,)) * 0.1, jnp.float32)
+    wproj = jnp.asarray(rng.normal(size=(C, C)) * 0.1, jnp.float32)
+    bproj = jnp.asarray(rng.normal(size=(C,)) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(2, nH, N, N)) * 0.1, jnp.float32)
+    scale = (C // nH) ** -0.5
+    got = swin_attn_half(x, ln1s, ln1b, wqkv, bqkv, wproj, bproj, bias,
+                         scale, nH, interpret=True)
+    want = _attn_half_xla_ref(x, ln1s, ln1b, wqkv, bqkv, wproj, bproj,
+                              bias, scale, nH)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_fused_mlp_preln_matches_ref():
+    from mvlt_tpu.ops.pallas_attn import _mlp_preln_xla_ref, fused_mlp_preln
+    rng = np.random.default_rng(10)
+    B, N, C = 3, 10, 32
+    x = jnp.asarray(rng.normal(size=(B, N, C)) * 0.5, jnp.float32)
+    ln2s = jnp.asarray(rng.normal(size=(C,)) * 0.1 + 1.0, jnp.float32)
+    ln2b = jnp.asarray(rng.normal(size=(C,)) * 0.1, jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(C, 4 * C)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(4 * C,)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(4 * C, C)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(C,)) * 0.1, jnp.float32)
+    got = fused_mlp_preln(x, ln2s, ln2b, w1, b1, w2, b2, interpret=True)
+    want = _mlp_preln_xla_ref(x, ln2s, ln2b, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_half_block_path_matches_full_block_in_model():
+    """SwinBlock 'interpret_half' output == plain XLA block output."""
+    from flax import linen as nn
+    from mvlt_tpu.models.backbones.swin import SwinBlock
+
+    rng = np.random.default_rng(11)
+    dim, res, heads = 32, (8, 8), 4
+
+    def build(impl):
+        class One(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                return SwinBlock(dim=dim, input_resolution=res,
+                                 num_heads=heads, window_size=4,
+                                 shift_size=2, attn_impl=impl,
+                                 name="b")(x, True)
+        return One()
+
+    x = jnp.asarray(rng.normal(size=(2, 64, dim)) * 0.5, jnp.float32)
+    m_half, m_xla = build("interpret_half"), build("xla")
+    v = m_half.init(jax.random.PRNGKey(0), x)
+    a = m_half.apply(v, x)
+    b = m_xla.apply(v, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-5, rtol=1e-5)
