@@ -45,6 +45,11 @@ class GenerationSpec:
     # with body-size-proportional loop dispatch cost (NOTES.md: 16 ->
     # 4.2 ms/step on the axon tunnel).
     unroll: bool = False
+    # Beam reorder gathers only the generated cache suffix (prefix rows
+    # are identical across a sample's beams).  Exact; ~2.6x less reorder
+    # traffic, one extra op per step — prefer on bandwidth-bound
+    # production runtimes, off under dispatch-bound ones (see NOTES.md).
+    suffix_reorder: bool = False
 
     @staticmethod
     def from_config(cfg: MVLTConfig, num_beams: int = 1, **kw) -> "GenerationSpec":
@@ -188,10 +193,15 @@ def beam_search(model, variables, image_feature, spec: GenerationSpec
     V_ = None  # resolved from logits
     L = spec.max_length
 
-    # expand image features beam-wise (model.py:548-575)
-    feat = jnp.repeat(image_feature, K, axis=0)  # (B*K, N, H)
-
-    logits0, kv, P = _prefill(model, variables, feat, spec)
+    # Prefill ONCE per sample, then expand beam-wise: the reference
+    # repeats the image K times before the forward (model.py:548-575),
+    # running the whole prefix encoder K-fold on identical inputs; the
+    # beam-expanded KV copies are bit-identical, so expanding the cache
+    # after one prefill is exact and K times cheaper.
+    logits0, kv, P = _prefill(model, variables, image_feature, spec)
+    logits0 = jnp.repeat(logits0, K, axis=0)                # (B*K, V)
+    kv = tuple((jnp.repeat(k_, K, axis=0), jnp.repeat(v_, K, axis=0))
+               for k_, v_ in kv)
     cache = _make_cache(model, variables, kv, P, B * K, spec)
     V_ = logits0.shape[-1]
 
@@ -241,7 +251,21 @@ def beam_search(model, variables, image_feature, spec: GenerationSpec
         seqs = jax.lax.dynamic_update_slice(
             seqs, beam_tokens[:, :, None], (0, 0, t))
         flat_idx = (jnp.arange(B)[:, None] * K + beam_idx).reshape(-1)
-        cache = {k: v[:, flat_idx] for k, v in cache.items()}
+        # Beam reorder only needs the GENERATED suffix: prefix rows
+        # (positions < P) are identical across a sample's beams at every
+        # step (written once by the shared prefill), so gathering them is
+        # a no-op — the reference gathers the full cache each step
+        # (model.py:758-763).  The suffix-only form moves ~2.6x fewer
+        # bytes but adds an op per step; under the axon tunnel's
+        # body-size-proportional dispatch cost the full gather measures
+        # FASTER, so suffix mode is opt-in for bandwidth-bound runtimes.
+        if spec.suffix_reorder:
+            def reorder(c):
+                suf = c[:, flat_idx, :, P:]
+                return jax.lax.dynamic_update_slice(c, suf, (0, 0, 0, P, 0))
+            cache = {k: reorder(v) for k, v in cache.items()}
+        else:
+            cache = {k: v[:, flat_idx] for k, v in cache.items()}
         prev = beam_tokens.reshape(-1)
         return (t + 1, prev, beam_scores, hyps, seqs, cache)
 

@@ -199,3 +199,20 @@ def test_unrolled_decode_matches_loop(setup, num_beams):
     for a, b in zip(looped, unrolled):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_suffix_reorder_matches_full_gather(setup):
+    """Beam suffix-only cache reorder is exact: prefix rows are identical
+    across a sample's beams, so gathering only positions >= prefix_len
+    must produce identical sequences and scores."""
+    model, variables, img, _ = setup
+    import dataclasses as dc
+    from mvlt_tpu.models.generation import GenerationSpec, generate
+
+    base = GenerationSpec.from_config(CFG, num_beams=3)
+    full = generate(model, variables, img, base)
+    suffix = generate(model, variables, img,
+                      dc.replace(base, suffix_reorder=True))
+    for a, b in zip(full, suffix):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
