@@ -299,9 +299,9 @@ class SwinBlock(nn.Module):
         N = window * window
         rel = table[idx.reshape(-1)].reshape(N, N, nH).transpose(2, 0, 1)
         combined = rel[None].astype(jnp.float32)
+        shift_mask = None
         if shift > 0:
-            combined = combined + jnp.asarray(
-                shifted_window_mask(H, W, window, shift))[:, None]
+            shift_mask = jnp.asarray(shifted_window_mask(H, W, window, shift))
 
         params = (
             gv("norm1")["scale"].astype(jnp.float32),
@@ -326,12 +326,14 @@ class SwinBlock(nn.Module):
                 # UNSHIFTED window layout, so the XLA partition/reverse of
                 # adjacent blocks cancel to identity and no roll HBM passes
                 # remain (reference torch.roll, visual_feature_extractor.py
-                # :361,378).
+                # :361,378).  Bias ships split (shared rel, compact mask).
                 windows = window_partition(xm, window).astype(cdt)
-                out = swin_full_block(windows, params, combined, scale, nH,
+                out = swin_full_block(windows, params,
+                                      (combined, shift_mask), scale, nH,
                                       interpret=interpret,
                                       shift_spec=(H, W, window, shift))
                 return window_reverse(out, window, H, W).reshape(B, H * W, C)
+            combined = combined + shift_mask[:, None]
             xm = jnp.roll(xm, shift=(-shift, -shift), axis=(1, 2))
         windows = window_partition(xm, window).astype(cdt)
         out = swin_full_block(windows, params, combined, scale, nH,

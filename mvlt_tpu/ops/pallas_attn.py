@@ -536,18 +536,24 @@ def _attend(q, k, v, bias, fast: bool):
 
 
 def _full_body(X, dt, refs, bias_ref, ctx_ref, *, scale, num_heads,
-               window_n, fast):
+               window_n, fast, mask_ref=None, mlp_chunks: int = 1):
     """Shared whole-block math on a 2-D (R, C) f32 value ``X``; the big
     matmuls (qkv / proj / MLP) run with M = R rows — near-full MXU row
     utilization — and the attention core slices per-group rows out of the
     qkv VALUE (plain 2-D slices, no Mosaic-hostile reshapes).  Returns the
-    f32 block output (R, C)."""
+    f32 block output (R, C).
+
+    ``mask_ref`` (optional): head-independent additive mask patterns
+    (Gb, N, N) (e.g. the SW-MSA shift mask, compact bf16) added on top of
+    the per-head ``bias_ref`` — keeps big shifted stages' bias VMEM nH
+    times smaller.  ``mlp_chunks`` splits the MLP over the hidden (4C)
+    dim so the f32 intermediate fits tight VMEM budgets."""
     (ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
      ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref) = refs
     R, C = X.shape
     N = window_n
     G = R // N
-    Gb = bias_ref.shape[0]
+    Gb = mask_ref.shape[0] if mask_ref is not None else bias_ref.shape[0]
     Dh = C // num_heads
 
     def dot(a, b):
@@ -560,21 +566,34 @@ def _full_body(X, dt, refs, bias_ref, ctx_ref, *, scale, num_heads,
 
     for g in range(G):
         rows = QKV[g * N:(g + 1) * N]                       # (N, 3C)
+        gmask = None
+        if mask_ref is not None:
+            gmask = mask_ref[g % Gb].astype(jnp.float32)
         for hh in range(num_heads):
             q = rows[:, hh * Dh:(hh + 1) * Dh].astype(jnp.float32) * scale
             k = rows[:, C + hh * Dh:C + (hh + 1) * Dh].astype(jnp.float32)
             v = rows[:, 2 * C + hh * Dh:2 * C + (hh + 1) * Dh]
-            ctx = _attend(q, k, v, bias_ref[g % Gb, hh], fast)
+            if mask_ref is not None:
+                hb = bias_ref[0, hh] + gmask
+            else:
+                hb = bias_ref[g % Gb, hh]
+            ctx = _attend(q, k, v, hb, fast)
             ctx_ref[g * N:(g + 1) * N, hh * Dh:(hh + 1) * Dh] = \
                 ctx.astype(ctx_ref.dtype)
 
     attn = dot(ctx_ref[:], wproj_ref[:])
     res1 = X + attn + bproj_ref[:].astype(jnp.float32)
     H2 = _ln(res1, ln2s_ref[:], ln2b_ref[:], fast=fast)
-    m = dot(H2.astype(dt), w1_ref[:])
-    m = m + b1_ref[:].astype(jnp.float32)
-    m = _gelu_exact(m, fast)
-    mlp = dot(m.astype(dt), w2_ref[:])
+    H2d = H2.astype(dt)
+    I = w1_ref.shape[-1]
+    ck = I // mlp_chunks
+    mlp = None
+    for i in range(mlp_chunks):
+        m = dot(H2d, w1_ref[:, i * ck:(i + 1) * ck])
+        m = m + b1_ref[i * ck:(i + 1) * ck].astype(jnp.float32)
+        m = _gelu_exact(m, fast)
+        part = dot(m.astype(dt), w2_ref[i * ck:(i + 1) * ck, :])
+        mlp = part if mlp is None else mlp + part
     return res1 + mlp + b2_ref[:].astype(jnp.float32)
 
 
@@ -630,10 +649,10 @@ def _shift_runs(H: int, W: int, window: int, shift: int):
 
 def _full_shift_kernel(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
                        wproj_ref, bproj_ref, ln2s_ref, ln2b_ref, w1_ref,
-                       b1_ref, w2_ref, b2_ref, bias_ref, o_ref, ctx_ref,
-                       s_ref, *, scale: float, num_heads: int,
+                       b1_ref, w2_ref, b2_ref, bias_ref, mask_ref, o_ref,
+                       ctx_ref, s_ref, *, scale: float, num_heads: int,
                        window_n: int, runs, img_rows: int, n_img: int,
-                       fast: bool = False):
+                       mlp_chunks: int = 1, fast: bool = False):
     """Shifted (SW-MSA) whole block with the cyclic shift folded in: the
     input arrives in UNSHIFTED window-major layout; the kernel permutes to
     the shifted layout in VMEM (static run copies), runs the block, and
@@ -647,7 +666,8 @@ def _full_shift_kernel(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
             s_ref[b0 + dst:b0 + dst + ln] = x_ref[b0 + src_:b0 + src_ + ln]
     X = s_ref[:].astype(jnp.float32)
     out = _full_body(X, x_ref.dtype, refs, bias_ref, ctx_ref, scale=scale,
-                     num_heads=num_heads, window_n=window_n, fast=fast)
+                     num_heads=num_heads, window_n=window_n, fast=fast,
+                     mask_ref=mask_ref, mlp_chunks=mlp_chunks)
     outc = out.astype(o_ref.dtype)
     for im in range(n_img):
         b0 = im * img_rows
@@ -659,7 +679,9 @@ def shift_kernel_feasible(H: int, W: int, window: int, C: int,
                           batch: int) -> bool:
     """Whether the shift-folded whole-block kernel applies: programs must
     hold whole images (the roll wraps across the full map), fit the VMEM
-    working set, and keep the unrolled copy-run count sane."""
+    working set (the MLP chunks itself down to a ~3MB intermediate, and
+    the shift mask ships head-independent in bf16), and keep the
+    unrolled copy-run count sane."""
     LW = (H // window) * (W // window) * window * window
     if (H // window) * (W // window) % 2 != 0:   # pattern pairs must tile
         return False
@@ -668,15 +690,21 @@ def shift_kernel_feasible(H: int, W: int, window: int, C: int,
         k *= 2
     if batch % k != 0:
         return False
-    if k * LW * C * (4 + 3 + 4) * 4 > 12 * 1024 * 1024:
+    # X f32 + QKV bf16 + ctx/s scratch + io blocks ~ 16 B per (row, chan);
+    # chunked MLP intermediate adds a flat ~3MB
+    if k * LW * C * 16 + 3 * 1024 * 1024 > 13 * 1024 * 1024:
         return False
-    return len(_shift_runs(H, W, window, window // 2)) <= 300
+    return len(_shift_runs(H, W, window, window // 2)) <= 1000
 
 
 def _full_forward_shift(x, params, bias, *, scale, num_heads, interpret,
                         shift_spec):
-    """x: (BW, N, C) UNSHIFTED window-major; bias: (nWb, nH, N, N) shifted
-    patterns.  Requires :func:`shift_kernel_feasible`."""
+    """x: (BW, N, C) UNSHIFTED window-major.  ``bias`` is a tuple
+    ``(rel, mask)``: per-head relative-position bias (1, nH, N, N) f32
+    and head-independent shift-mask patterns (nWb, N, N) — shipped
+    separately so the (nWb, 2N, 2N) merged mask is nH times smaller in
+    VMEM than pre-combined patterns.  Requires
+    :func:`shift_kernel_feasible`."""
     H, W, window, shift = shift_spec
     BW, N, C = x.shape
     nW = (H // window) * (W // window)
@@ -687,10 +715,27 @@ def _full_forward_shift(x, params, bias, *, scale, num_heads, interpret,
         k *= 2
     runs = _shift_runs(H, W, window, shift)
 
-    bias_m = _merge_bias_pairs(bias)     # (nW//2, nH, 2N, 2N)
+    rel, mask = bias
+    nH = rel.shape[1]
     N2 = 2 * N
+    # merged rel: both diagonal blocks are the shared pattern; off-diag 0
+    # (the merged MASK carries the -1e9 pair separation)
+    rel_m = jnp.zeros((1, nH, N2, N2), jnp.float32)
+    rel_m = rel_m.at[:, :, :N, :N].set(rel).at[:, :, N:, N:].set(rel)
+    nWb = mask.shape[0]
+    mk = mask.reshape(nWb // 2, 2, N, N)
+    mask_m = jnp.full((nWb // 2, N2, N2), -1e9, jnp.float32)
+    mask_m = mask_m.at[:, :N, :N].set(mk[:, 0]).at[:, N:, N:].set(mk[:, 1])
+    mask_m = mask_m.astype(jnp.bfloat16 if x.dtype == jnp.bfloat16
+                           else jnp.float32)
 
+    mlp_chunks = 1
     rows = k * LW
+    I = params[8].shape[-1]              # w1: (C, 4C)
+    while mlp_chunks < 4 and rows * (I // mlp_chunks) * 4 > 3 * 1024 * 1024 \
+            and (I // (mlp_chunks * 2)) % 128 == 0:
+        mlp_chunks *= 2
+
     x2 = x.reshape(BW * N, C)
     grid = (B // k,)
     x_spec = pl.BlockSpec((rows, C), lambda i: (i, 0),
@@ -704,16 +749,17 @@ def _full_forward_shift(x, params, bias, *, scale, num_heads, interpret,
         functools.partial(
             _full_shift_kernel, scale=scale, num_heads=num_heads,
             window_n=N2, runs=runs, img_rows=LW, n_img=k,
+            mlp_chunks=mlp_chunks,
             fast=(x.dtype == jnp.bfloat16 and not interpret)),
         grid=grid,
         in_specs=[x_spec] + [const_spec(p.shape) for p in params]
-        + [const_spec(bias_m.shape)],
+        + [const_spec(rel_m.shape), const_spec(mask_m.shape)],
         out_specs=x_spec,
         out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
         scratch_shapes=[pltpu.VMEM((rows, C), x.dtype),
                         pltpu.VMEM((rows, C), x.dtype)],
         interpret=interpret,
-    )(x2, *params, bias_m)
+    )(x2, *params, rel_m, mask_m)
     return out.reshape(BW, N, C)
 
 
@@ -928,14 +974,17 @@ def _shift_perm(H, W, window, shift):
 
 def _full_xla_ref_shift(x, params, bias, scale, num_heads, shift_spec):
     """XLA reference of the shift-folded block: permute to the shifted
-    window layout, run the block, permute back."""
+    window layout, run the block, permute back.  ``bias`` is the
+    (rel, mask) tuple of :func:`_full_forward_shift`."""
     H, W, window, shift = shift_spec
     BW, N, C = x.shape
     nW = (H // window) * (W // window)
+    rel, mask = bias
+    combined = rel + mask[:, None]
     perm = jnp.asarray(_shift_perm(H, W, window, shift))
     xi = x.reshape(-1, nW * N, C)
     xs = jnp.take(xi, perm, axis=1).reshape(BW, N, C)
-    y = _full_xla_ref(xs, params, bias, scale, num_heads)
+    y = _full_xla_ref(xs, params, combined, scale, num_heads)
     yi = y.reshape(-1, nW * N, C)
     inv = jnp.zeros_like(perm).at[perm].set(
         jnp.arange(perm.shape[0], dtype=perm.dtype))

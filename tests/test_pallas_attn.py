@@ -335,3 +335,63 @@ def test_half_block_path_matches_full_block_in_model():
     b = m_xla.apply(v, x)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_shift_folded_block_matches_ref():
+    """Shift-folded whole block (split rel/mask bias, in-kernel permute)
+    == XLA roll/partition reference."""
+    from mvlt_tpu.ops.pallas_attn import (_full_xla_ref_shift,
+                                          shift_kernel_feasible,
+                                          swin_full_block)
+    rng = np.random.default_rng(12)
+    H = W = 8
+    win, shift, C, nH, B = 4, 2, 16, 2, 3
+    N = win * win
+    nW = (H // win) * (W // win)
+    assert shift_kernel_feasible(H, W, win, C, B)
+    x = jnp.asarray(rng.normal(size=(B * nW, N, C)) * 0.5, jnp.float32)
+    params = tuple(jnp.asarray(a, jnp.float32) for a in [
+        np.ones(C), np.zeros(C),
+        rng.normal(size=(C, 3 * C)) * 0.1, np.zeros(3 * C),
+        rng.normal(size=(C, C)) * 0.1, np.zeros(C),
+        np.ones(C), np.zeros(C),
+        rng.normal(size=(C, 4 * C)) * 0.1, np.zeros(4 * C),
+        rng.normal(size=(4 * C, C)) * 0.1, np.zeros(C)])
+    rel = jnp.asarray(rng.normal(size=(1, nH, N, N)) * 0.1, jnp.float32)
+    mask = jnp.asarray(
+        np.where(rng.random((nW, N, N)) < 0.2, -100.0, 0.0), jnp.float32)
+    scale = (C // nH) ** -0.5
+    got = swin_full_block(x, params, (rel, mask), scale, nH, interpret=True,
+                          shift_spec=(H, W, win, shift))
+    want = _full_xla_ref_shift(x, params, (rel, mask), scale, nH,
+                               (H, W, win, shift))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_mlp_chunking_exact():
+    """Chunked MLP inside the shift kernel is numerically identical (the
+    chunk split is a plain sum decomposition)."""
+    import mvlt_tpu.ops.pallas_attn as pa
+    rng = np.random.default_rng(13)
+    H = W = 8
+    win, shift, C, nH, B = 4, 2, 128, 4, 2
+    N = win * win
+    nW = (H // win) * (W // win)
+    x = jnp.asarray(rng.normal(size=(B * nW, N, C)) * 0.5, jnp.float32)
+    params = tuple(jnp.asarray(a, jnp.float32) for a in [
+        np.ones(C), np.zeros(C),
+        rng.normal(size=(C, 3 * C)) * 0.05, np.zeros(3 * C),
+        rng.normal(size=(C, C)) * 0.05, np.zeros(C),
+        np.ones(C), np.zeros(C),
+        rng.normal(size=(C, 4 * C)) * 0.05, np.zeros(4 * C),
+        rng.normal(size=(4 * C, C)) * 0.05, np.zeros(C)])
+    rel = jnp.zeros((1, nH, N, N), jnp.float32)
+    mask = jnp.zeros((nW, N, N), jnp.float32)
+    scale = (C // nH) ** -0.5
+    want = pa._full_xla_ref_shift(x, params, (rel, mask), scale, nH,
+                                  (H, W, win, shift))
+    got = pa.swin_full_block(x, params, (rel, mask), scale, nH,
+                             interpret=True, shift_spec=(H, W, win, shift))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
