@@ -169,7 +169,7 @@ def main() -> None:
     import jax.numpy as jnp
     platform = jax.devices()[0].platform
     on_accel = platform not in ("cpu",)
-    batch = args.batch or (64 if on_accel else 8)
+    batch = args.batch or (128 if on_accel else 8)  # b128 > b64 post-kernels
     dtype = jnp.bfloat16 if on_accel else jnp.float32
     iters = args.iters or (20 if on_accel else 5)
 

@@ -694,6 +694,12 @@ def shift_kernel_feasible(H: int, W: int, window: int, C: int,
     # chunked MLP intermediate adds a flat ~3MB
     if k * LW * C * 16 + 3 * 1024 * 1024 > 13 * 1024 * 1024:
         return False
+    # Mosaic's scoped-VMEM accounting grows with very large grids in ways
+    # this predicate cannot model (observed: b256 stage-1 compile OOM at
+    # 17.05M with an identical per-program footprint that fits at b128);
+    # cap the grid and let larger batches take the XLA roll path.
+    if batch > 128:
+        return False
     return len(_shift_runs(H, W, window, window // 2)) <= 1000
 
 

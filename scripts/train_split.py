@@ -40,7 +40,11 @@ def loss_fn(p, det):
 def timeit(fn):
     def loop(p):
         def body(c, _):
-            v = fn(p)
+            # perturb params per iteration so XLA cannot hoist the whole
+            # loss computation out of the scan as loop-invariant
+            p2 = jax.tree.map(lambda x: x * (1 + c * 1e-12).astype(x.dtype),
+                              p)
+            v = fn(p2)
             return c + v * 1e-12, v
         _, m = jax.lax.scan(body, jnp.float32(0), None, length=ITERS)
         return m.sum()
