@@ -239,6 +239,30 @@ class SwinBlock(nn.Module):
         if full_ok:
             return self._fused_full_block(x, window, shift,
                                           interpret=(impl == "interpret_full"))
+        # TRAINING forward can also use the whole-block kernel when the
+        # only stochastic element is DropPath (the Swin config of record
+        # has drop_rate = attn_drop_rate = 0): stochastic depth becomes
+        # per-row branch multipliers fed to the kernel; backward runs the
+        # fast-core composition (Pallas attention-core VJP).
+        train_ok = not self.is_initializing() and not deterministic and (
+            self.drop == 0.0 and self.attn_drop == 0.0) and (
+            impl == "interpret_full"
+            or (impl == "auto" and jax.default_backend() == "tpu"
+                and weights_fit))
+        if train_ok:
+            dp = None
+            if self.drop_path > 0.0:
+                keep = 1.0 - self.drop_path
+                rows = H * W
+                def draw():
+                    m = jax.random.bernoulli(
+                        self.make_rng("dropout"), p=keep, shape=(B,))
+                    m = m.astype(jnp.float32) / keep
+                    return jnp.repeat(m, rows)[:, None]
+                dp = (draw(), draw())
+            return self._fused_full_block(
+                x, window, shift, interpret=(impl == "interpret_full"),
+                dp=dp)
         # Wide stages (e.g. Swin-S stage 4, C=768): whole-block weights
         # exceed VMEM, but the block still fuses as pre-LN HALVES split at
         # its residual boundaries (attn half 4C^2, MLP half 8C^2 weights).
@@ -281,7 +305,7 @@ class SwinBlock(nn.Module):
         return x + DropPath(self.drop_path, name="drop_path2")(y, deterministic)
 
     def _fused_full_block(self, x, window: int, shift: int,
-                          interpret: bool) -> jnp.ndarray:
+                          interpret: bool, dp=None) -> jnp.ndarray:
         """Whole-block Pallas path (deterministic). Partition/roll stay in
         XLA; everything between lives in VMEM."""
         from mvlt_tpu.ops.pallas_attn import swin_full_block
@@ -321,7 +345,8 @@ class SwinBlock(nn.Module):
         xm = x.reshape(B, H, W, C)
         if shift > 0:
             from mvlt_tpu.ops.pallas_attn import shift_kernel_feasible
-            if shift_kernel_feasible(H, W, window, C, B):
+            if shift_kernel_feasible(H, W, window, C, B,
+                                     with_dp=dp is not None):
                 # Fold the cyclic roll into the kernel: input/output stay in
                 # UNSHIFTED window layout, so the XLA partition/reverse of
                 # adjacent blocks cancel to identity and no roll HBM passes
@@ -331,13 +356,14 @@ class SwinBlock(nn.Module):
                 out = swin_full_block(windows, params,
                                       (combined, shift_mask), scale, nH,
                                       interpret=interpret,
-                                      shift_spec=(H, W, window, shift))
+                                      shift_spec=(H, W, window, shift),
+                                      dp=dp)
                 return window_reverse(out, window, H, W).reshape(B, H * W, C)
             combined = combined + shift_mask[:, None]
             xm = jnp.roll(xm, shift=(-shift, -shift), axis=(1, 2))
         windows = window_partition(xm, window).astype(cdt)
         out = swin_full_block(windows, params, combined, scale, nH,
-                              interpret=interpret)
+                              interpret=interpret, dp=dp)
         xm = window_reverse(out, window, H, W)
         if shift > 0:
             xm = jnp.roll(xm, shift=(shift, shift), axis=(1, 2))

@@ -536,7 +536,8 @@ def _attend(q, k, v, bias, fast: bool):
 
 
 def _full_body(X, dt, refs, bias_ref, ctx_ref, *, scale, num_heads,
-               window_n, fast, mask_ref=None, mlp_chunks: int = 1):
+               window_n, fast, mask_ref=None, mlp_chunks: int = 1,
+               dp1_ref=None, dp2_ref=None):
     """Shared whole-block math on a 2-D (R, C) f32 value ``X``; the big
     matmuls (qkv / proj / MLP) run with M = R rows — near-full MXU row
     utilization — and the attention core slices per-group rows out of the
@@ -582,7 +583,12 @@ def _full_body(X, dt, refs, bias_ref, ctx_ref, *, scale, num_heads,
                 ctx.astype(ctx_ref.dtype)
 
     attn = dot(ctx_ref[:], wproj_ref[:])
-    res1 = X + attn + bproj_ref[:].astype(jnp.float32)
+    attn = attn + bproj_ref[:].astype(jnp.float32)
+    if dp1_ref is not None:
+        # stochastic depth as per-row multipliers (0 or 1/keep), applied
+        # to the whole branch incl. its bias — matches DropPath semantics
+        attn = attn * dp1_ref[:]
+    res1 = X + attn
     H2 = _ln(res1, ln2s_ref[:], ln2b_ref[:], fast=fast)
     H2d = H2.astype(dt)
     I = w1_ref.shape[-1]
@@ -594,7 +600,10 @@ def _full_body(X, dt, refs, bias_ref, ctx_ref, *, scale, num_heads,
         m = _gelu_exact(m, fast)
         part = dot(m.astype(dt), w2_ref[i * ck:(i + 1) * ck, :])
         mlp = part if mlp is None else mlp + part
-    return res1 + mlp + b2_ref[:].astype(jnp.float32)
+    mlp = mlp + b2_ref[:].astype(jnp.float32)
+    if dp2_ref is not None:
+        mlp = mlp * dp2_ref[:]
+    return res1 + mlp
 
 
 def _full_kernel(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref,
@@ -675,8 +684,53 @@ def _full_shift_kernel(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
             o_ref[b0 + src_:b0 + src_ + ln] = outc[b0 + dst:b0 + dst + ln]
 
 
+def _full_kernel_dp(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
+                    wproj_ref, bproj_ref, ln2s_ref, ln2b_ref, w1_ref,
+                    b1_ref, w2_ref, b2_ref, bias_ref, dp1_ref, dp2_ref,
+                    o_ref, ctx_ref, *, scale: float, num_heads: int,
+                    window_n: int, fast: bool = False):
+    refs = (ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+            ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref)
+    X = x_ref[:].astype(jnp.float32)
+    out = _full_body(X, x_ref.dtype, refs, bias_ref, ctx_ref, scale=scale,
+                     num_heads=num_heads, window_n=window_n, fast=fast,
+                     dp1_ref=dp1_ref, dp2_ref=dp2_ref)
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+def _full_shift_kernel_dp(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
+                          wproj_ref, bproj_ref, ln2s_ref, ln2b_ref, w1_ref,
+                          b1_ref, w2_ref, b2_ref, bias_ref, mask_ref,
+                          dp1_ref, dp2_ref, o_ref, ctx_ref, s_ref, d1_ref,
+                          d2_ref, *, scale: float, num_heads: int,
+                          window_n: int, runs, img_rows: int, n_img: int,
+                          mlp_chunks: int = 1, fast: bool = False):
+    """Shift-folded block with DropPath multipliers: the dp vectors are
+    permuted alongside x so each row keeps its own multiplier."""
+    refs = (ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+            ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref)
+    for im in range(n_img):
+        b0 = im * img_rows
+        for dst, src_, ln in runs:
+            s_ref[b0 + dst:b0 + dst + ln] = x_ref[b0 + src_:b0 + src_ + ln]
+            d1_ref[b0 + dst:b0 + dst + ln] = \
+                dp1_ref[b0 + src_:b0 + src_ + ln]
+            d2_ref[b0 + dst:b0 + dst + ln] = \
+                dp2_ref[b0 + src_:b0 + src_ + ln]
+    X = s_ref[:].astype(jnp.float32)
+    out = _full_body(X, x_ref.dtype, refs, bias_ref, ctx_ref, scale=scale,
+                     num_heads=num_heads, window_n=window_n, fast=fast,
+                     mask_ref=mask_ref, mlp_chunks=mlp_chunks,
+                     dp1_ref=d1_ref, dp2_ref=d2_ref)
+    outc = out.astype(o_ref.dtype)
+    for im in range(n_img):
+        b0 = im * img_rows
+        for dst, src_, ln in runs:
+            o_ref[b0 + src_:b0 + src_ + ln] = outc[b0 + dst:b0 + dst + ln]
+
+
 def shift_kernel_feasible(H: int, W: int, window: int, C: int,
-                          batch: int) -> bool:
+                          batch: int, with_dp: bool = False) -> bool:
     """Whether the shift-folded whole-block kernel applies: programs must
     hold whole images (the roll wraps across the full map), fit the VMEM
     working set (the MLP chunks itself down to a ~3MB intermediate, and
@@ -700,11 +754,17 @@ def shift_kernel_feasible(H: int, W: int, window: int, C: int,
     # cap the grid and let larger batches take the XLA roll path.
     if batch > 128:
         return False
-    return len(_shift_runs(H, W, window, window // 2)) <= 1000
+    runs = len(_shift_runs(H, W, window, window // 2))
+    # the dp variant adds permuted-multiplier scratches and input blocks;
+    # stage-1 geometry (896 runs) already sits at the scoped-VMEM cliff
+    # and tips over with them (observed 18.3M) — roll in XLA instead
+    if with_dp and runs > 300:
+        return False
+    return runs <= 1000
 
 
 def _full_forward_shift(x, params, bias, *, scale, num_heads, interpret,
-                        shift_spec):
+                        shift_spec, dp=None):
     """x: (BW, N, C) UNSHIFTED window-major.  ``bias`` is a tuple
     ``(rel, mask)``: per-head relative-position bias (1, nH, N, N) f32
     and head-independent shift-mask patterns (nWb, N, N) — shipped
@@ -751,6 +811,28 @@ def _full_forward_shift(x, params, bias, *, scale, num_heads, interpret,
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
+    if dp is not None:
+        dp_spec = pl.BlockSpec((rows, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            functools.partial(
+                _full_shift_kernel_dp, scale=scale, num_heads=num_heads,
+                window_n=N2, runs=runs, img_rows=LW, n_img=k,
+                mlp_chunks=mlp_chunks,
+                fast=(x.dtype == jnp.bfloat16 and not interpret)),
+            grid=grid,
+            in_specs=[x_spec] + [const_spec(p.shape) for p in params]
+            + [const_spec(rel_m.shape), const_spec(mask_m.shape),
+               dp_spec, dp_spec],
+            out_specs=x_spec,
+            out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
+            scratch_shapes=[pltpu.VMEM((rows, C), x.dtype),
+                            pltpu.VMEM((rows, C), x.dtype),
+                            pltpu.VMEM((rows, 1), jnp.float32),
+                            pltpu.VMEM((rows, 1), jnp.float32)],
+            interpret=interpret,
+        )(x2, *params, rel_m, mask_m, dp[0], dp[1])
+        return out.reshape(BW, N, C)
     out = pl.pallas_call(
         functools.partial(
             _full_shift_kernel, scale=scale, num_heads=num_heads,
@@ -859,7 +941,8 @@ def _full_forward_windows(x, params, bias, *, scale, num_heads, group,
     )(x, *params, bias)
 
 
-def _full_forward(x, params, bias, *, scale, num_heads, group, interpret):
+def _full_forward(x, params, bias, *, scale, num_heads, group, interpret,
+                  dp=None):
     """params: tuple (ln1s, ln1b, wqkv, bqkv, wproj, bproj, ln2s, ln2b,
     w1, b1, w2, b2).  x: (BW, N, C) windows.
 
@@ -874,7 +957,7 @@ def _full_forward(x, params, bias, *, scale, num_heads, group, interpret):
     x, bias, merged = _merge_window_pairs(x, bias)
     out = _full_forward_inner(x, params, bias, scale=scale,
                               num_heads=num_heads, group=group,
-                              interpret=interpret)
+                              interpret=interpret, dp=dp)
     return out.reshape(orig_shape) if merged else out
 
 
@@ -882,7 +965,7 @@ _VMEM_CAP = 8 * 1024 * 1024
 
 
 def _full_forward_inner(x, params, bias, *, scale, num_heads, group,
-                        interpret):
+                        interpret, dp=None):
     BW, N, C = x.shape
     nWb = bias.shape[0]
     G = group
@@ -894,6 +977,12 @@ def _full_forward_inner(x, params, bias, *, scale, num_heads, group,
                      or (G * N) % 8 != 0):
         G //= 2
     if (G * N) % 8 != 0 or BW % G != 0 or (nWb > 1 and nWb % G != 0):
+        if dp is not None:
+            # awkward geometry + stochastic depth: XLA composition with
+            # the Pallas attention core (correct, still kernel-fast on
+            # the core; the fused fallbacks below don't thread dp)
+            return _full_ref_fastcore(x, params, bias, dp, scale,
+                                      num_heads, interpret)
         # No 8-aligned G exists (e.g. shifted stage-3: nWb=4, N=49 odd).
         # Pad windows to the next multiple of 8 rows so the 2-D big-dot
         # path still applies: padded KEYS are masked with a large negative
@@ -937,6 +1026,22 @@ def _full_forward_inner(x, params, bias, *, scale, num_heads, group,
         return pl.BlockSpec(shape, zero, memory_space=pltpu.VMEM)
 
     x_spec = pl.BlockSpec((G * N, C), x_map, memory_space=pltpu.VMEM)
+    if dp is not None:
+        dp_spec = pl.BlockSpec((G * N, 1), x_map, memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            functools.partial(
+                _full_kernel_dp, scale=scale, num_heads=num_heads,
+                window_n=N,
+                fast=(x.dtype == jnp.bfloat16 and not interpret)),
+            grid=grid,
+            in_specs=[x_spec] + [const_spec(p.shape) for p in params]
+            + [bias_spec, dp_spec, dp_spec],
+            out_specs=x_spec,
+            out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
+            scratch_shapes=[pltpu.VMEM((G * N, C), x.dtype)],
+            interpret=interpret,
+        )(x2, *params, bias, dp[0], dp[1])
+        return out.reshape(BW, N, C)
     out = pl.pallas_call(
         functools.partial(_full_kernel, scale=scale, num_heads=num_heads,
                           window_n=N,
@@ -1000,39 +1105,44 @@ def _full_xla_ref_shift(x, params, bias, scale, num_heads, shift_spec):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def swin_full_block(x, params, bias, scale: float, num_heads: int,
                     group: int = 16, interpret: bool = False,
-                    shift_spec=None):
-    """Whole Swin block fused (deterministic path). x: (BW, N, C) RAW
-    windows (pre-LN); params as in :func:`_full_forward`.
+                    shift_spec=None, dp=None):
+    """Whole Swin block fused. x: (BW, N, C) RAW windows (pre-LN);
+    params as in :func:`_full_forward`.
 
     With ``shift_spec=(H, W, window, shift)`` the input must be in
     UNSHIFTED window-major layout; the cyclic shift is folded into the
-    kernel (caller must check :func:`shift_kernel_feasible`)."""
+    kernel (caller must check :func:`shift_kernel_feasible`).
+
+    ``dp``: optional ((BW*N, 1), (BW*N, 1)) f32 per-row DropPath
+    multipliers (0 or 1/keep) for the attention and MLP branches — lets
+    stochastic-depth TRAINING forwards use the fused kernel.  Backward
+    recomputes via the fast-core XLA composition (Pallas attention-core
+    VJP + XLA matmuls)."""
     if shift_spec is not None:
         return _full_forward_shift(x, tuple(params), bias, scale=scale,
                                    num_heads=num_heads, interpret=interpret,
-                                   shift_spec=shift_spec)
+                                   shift_spec=shift_spec, dp=dp)
     return _full_forward(x, tuple(params), bias, scale=scale,
                          num_heads=num_heads, group=group,
-                         interpret=interpret)
+                         interpret=interpret, dp=dp)
 
 
 def _full_fwd(x, params, bias, scale, num_heads, group, interpret,
-              shift_spec=None):
+              shift_spec=None, dp=None):
     out = swin_full_block(x, params, bias, scale, num_heads, group,
-                          interpret, shift_spec)
-    return out, (x, tuple(params), bias)
+                          interpret, shift_spec, dp)
+    return out, (x, tuple(params), bias, dp)
 
 
 def _full_bwd(scale, num_heads, group, interpret, shift_spec, res, g):
-    x, params, bias = res
+    x, params, bias, dp = res
 
-    def ref(x, params, bias):
-        if shift_spec is not None:
-            return _full_xla_ref_shift(x, params, bias, scale, num_heads,
-                                       shift_spec)
-        return _full_xla_ref(x, params, bias, scale, num_heads)
+    def ref(x, params, bias, dp):
+        return _full_ref_fastcore(x, params, bias, dp, scale, num_heads,
+                                  interpret or jax.default_backend() != "tpu",
+                                  shift_spec)
 
-    _, vjp = jax.vjp(ref, x, params, bias)
+    _, vjp = jax.vjp(ref, x, params, bias, dp)
     return vjp(g)
 
 
@@ -1048,13 +1158,32 @@ def _block_fwd(x, wqkv, bqkv, wproj, bproj, bias, scale, num_heads, group,
 
 
 def _block_bwd(scale, num_heads, group, interpret, res, g):
+    """Manual VJP: projections and weight grads are big XLA matmuls; the
+    attention-core forward recompute and backward (the part XLA handles
+    badly at window shapes) run as Pallas kernels."""
     x, wqkv, bqkv, wproj, bproj, bias = res
-    def ref(x, wqkv, bqkv, wproj, bproj, bias):
-        return _block_xla_ref(x, wqkv, bqkv, wproj, bproj, bias, scale,
-                              num_heads)
+    BW, N, C = x.shape
+    interp = interpret or jax.default_backend() != "tpu"
 
-    _, vjp = jax.vjp(ref, x, wqkv, bqkv, wproj, bproj, bias)
-    return vjp(g)
+    x2 = x.reshape(-1, C)
+    QKV = (x2 @ wqkv + bqkv).reshape(BW, N, 3 * C)
+    ctx = attention_core(QKV, bias, scale, num_heads, interpret=interp)
+
+    g2 = g.reshape(-1, C).astype(jnp.float32)
+    ctx2 = ctx.reshape(-1, C).astype(jnp.float32)
+    dwproj = ctx2.T @ g2
+    dbproj = g2.sum(0)
+    dctx = (g2 @ wproj.astype(jnp.float32).T).reshape(BW, N, C)
+
+    dQKV, dbias = attention_core_bwd(QKV, dctx.astype(QKV.dtype), bias,
+                                     scale, num_heads, interpret=interp)
+    dQKV2 = dQKV.reshape(-1, 3 * C).astype(jnp.float32)
+    dwqkv = x2.astype(jnp.float32).T @ dQKV2
+    dbqkv = dQKV2.sum(0)
+    dx = (dQKV2 @ wqkv.astype(jnp.float32).T).reshape(BW, N, C)
+    return (dx.astype(x.dtype), dwqkv.astype(wqkv.dtype),
+            dbqkv.astype(bqkv.dtype), dwproj.astype(wproj.dtype),
+            dbproj.astype(bproj.dtype), dbias.astype(bias.dtype))
 
 
 window_block_attention.defvjp(_block_fwd, _block_bwd)
@@ -1491,3 +1620,253 @@ def _mlp_preln_bwd(rows, interpret, res, g):
 
 
 fused_mlp_preln.defvjp(_mlp_preln_fwd, _mlp_preln_bwd)
+
+
+# ---------------------------------------------------------------------------
+# attention-core forward/backward kernels (training path).
+#
+# XLA's backward through window attention re-materializes the per-window
+# (N, N) weight/jacobian tensors through HBM with 49-lane padding — the
+# same pathology the forward kernels fixed.  These kernels compute the
+# core (softmax(QK^T + bias) V) and its VJP entirely in VMEM; the
+# surrounding projections (dW = X^T dQKV etc.) stay in XLA where they are
+# large efficient matmuls.  Used by the custom VJPs of the block kernels.
+# ---------------------------------------------------------------------------
+
+def _core_fwd_kernel(qkv_ref, bias_ref, o_ref, *, scale: float,
+                     num_heads: int, fast: bool = False):
+    G, N, C3 = qkv_ref.shape
+    C = C3 // 3
+    Gb = bias_ref.shape[0]
+    Dh = C // num_heads
+    for g in range(G):
+        rows = qkv_ref[g]
+        for hh in range(num_heads):
+            q = rows[:, hh * Dh:(hh + 1) * Dh].astype(jnp.float32) * scale
+            k = rows[:, C + hh * Dh:C + (hh + 1) * Dh].astype(jnp.float32)
+            v = rows[:, 2 * C + hh * Dh:2 * C + (hh + 1) * Dh]
+            ctx = _attend(q, k, v, bias_ref[g % Gb, hh], fast)
+            o_ref[g, :, hh * Dh:(hh + 1) * Dh] = ctx.astype(o_ref.dtype)
+
+
+def _core_bwd_kernel(qkv_ref, dctx_ref, bias_ref, dqkv_ref, dbias_ref, *,
+                     scale: float, num_heads: int, fast: bool = False):
+    G, N, C3 = qkv_ref.shape
+    C = C3 // 3
+    Gb = bias_ref.shape[0]
+    Dh = C // num_heads
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    ones = jnp.ones((N, 1), jnp.float32)
+
+    for g in range(G):
+        rows = qkv_ref[g]
+        for hh in range(num_heads):
+            qs = rows[:, hh * Dh:(hh + 1) * Dh].astype(jnp.float32) * scale
+            k = rows[:, C + hh * Dh:C + (hh + 1) * Dh].astype(jnp.float32)
+            v = rows[:, 2 * C + hh * Dh:2 * C + (hh + 1) * Dh].astype(
+                jnp.float32)
+            s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s + bias_ref[g % Gb, hh]
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s)
+            denom = jax.lax.dot_general(e, ones, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+            if fast:
+                p = e * pl.reciprocal(jnp.maximum(denom, 1e-30), approx=True)
+            else:
+                p = e / denom
+            dctx = dctx_ref[g, :, hh * Dh:(hh + 1) * Dh].astype(jnp.float32)
+            # dp = dctx V^T   (lane-lane contraction)
+            dp = jax.lax.dot_general(dctx, v, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            # dv = P^T dctx   (row-row contraction)
+            dv = jax.lax.dot_general(p, dctx, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            pdp = p * dp
+            rd = jax.lax.dot_general(pdp, ones, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            ds = pdp - p * rd
+            dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32) \
+                * scale
+            dk = jax.lax.dot_general(ds, qs, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            dqkv_ref[g, :, hh * Dh:(hh + 1) * Dh] = dq.astype(dqkv_ref.dtype)
+            dqkv_ref[g, :, C + hh * Dh:C + (hh + 1) * Dh] = \
+                dk.astype(dqkv_ref.dtype)
+            dqkv_ref[g, :, 2 * C + hh * Dh:2 * C + (hh + 1) * Dh] = \
+                dv.astype(dqkv_ref.dtype)
+            dbias_ref[g % Gb, hh] += ds
+
+
+def _core_merge(qkv, bias):
+    BW, N, C3 = qkv.shape
+    nWb = bias.shape[0]
+    if N > 64 or BW % 2 != 0 or (nWb > 1 and nWb % 2 != 0):
+        return qkv, bias, False
+    return qkv.reshape(BW // 2, 2 * N, C3), _merge_bias_pairs(bias), True
+
+
+def _core_pick_group(BW, N, C3, nWb, group=8):
+    G = group
+    while G > 1 and (BW % G != 0 or (nWb > 1 and nWb % G != 0)
+                     or G * N * C3 * 12 > 4 * 1024 * 1024):
+        G //= 2
+    while BW % G != 0 or (nWb > 1 and nWb % G != 0):
+        G //= 2
+    return max(G, 1)
+
+
+def attention_core(qkv, bias, scale: float, num_heads: int,
+                   interpret: bool = False):
+    """softmax(Q K^T * scale + bias) V on fused-qkv windows.
+
+    qkv: (BW, N, 3C); bias: (nWb, nH, N, N).  Returns ctx (BW, N, C)."""
+    BW, N, C3 = qkv.shape
+    C = C3 // 3
+    orig = (BW, N, C)
+    qkv, bias, merged = _core_merge(qkv, bias)
+    BW, N, _ = qkv.shape
+    nWb = bias.shape[0]
+    G = _core_pick_group(BW, N, C3, nWb)
+
+    spec3 = lambda c: pl.BlockSpec((G, N, c), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec(bias.shape, lambda i: (0,) * bias.ndim,
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_core_fwd_kernel, scale=scale,
+                          num_heads=num_heads,
+                          fast=(qkv.dtype == jnp.bfloat16 and not interpret)),
+        grid=(BW // G,),
+        in_specs=[spec3(C3), bias_spec],
+        out_specs=spec3(C),
+        out_shape=jax.ShapeDtypeStruct((BW, N, C), qkv.dtype),
+        interpret=interpret,
+    )(qkv, bias)
+    return out.reshape(orig)
+
+
+def attention_core_bwd(qkv, dctx, bias, scale: float, num_heads: int,
+                       interpret: bool = False):
+    """VJP of :func:`attention_core` wrt (qkv, bias).
+
+    Returns (dqkv (BW, N, 3C), dbias (nWb, nH, N, N)).  dbias accumulates
+    across the sequential grid into a constant-index output block."""
+    BW0, N0, C3 = qkv.shape
+    C = C3 // 3
+    nWb0 = bias.shape[0]
+    qkv, bias_m, merged = _core_merge(qkv, bias)
+    if merged:
+        dctx = dctx.reshape(qkv.shape[0], qkv.shape[1], C)
+    BW, N, _ = qkv.shape
+    nWb = bias_m.shape[0]
+    G = _core_pick_group(BW, N, C3, nWb)
+
+    spec3 = lambda c: pl.BlockSpec((G, N, c), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec(bias_m.shape, lambda i: (0,) * bias_m.ndim,
+                             memory_space=pltpu.VMEM)
+    dqkv, dbias_m = pl.pallas_call(
+        functools.partial(_core_bwd_kernel, scale=scale,
+                          num_heads=num_heads,
+                          fast=(qkv.dtype == jnp.bfloat16 and not interpret)),
+        grid=(BW // G,),
+        in_specs=[spec3(C3), spec3(C), bias_spec],
+        out_specs=(spec3(C3), bias_spec),
+        out_shape=(jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
+                   jax.ShapeDtypeStruct(bias_m.shape, jnp.float32)),
+        interpret=interpret,
+    )(qkv, dctx, bias_m)
+
+    dqkv = dqkv.reshape(BW0, N0, C3)
+    if merged:
+        nH = bias.shape[1] if not merged else dbias_m.shape[1]
+        top = dbias_m[:, :, :N0, :N0]
+        bot = dbias_m[:, :, N0:, N0:]
+        if nWb0 == 1:
+            dbias = (top + bot).astype(jnp.float32)
+        else:
+            dbias = jnp.stack([top, bot], axis=1).reshape(
+                nWb0, dbias_m.shape[1], N0, N0)
+    else:
+        dbias = dbias_m
+    return dqkv, dbias.astype(jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def attention_core_op(qkv, bias, scale: float, num_heads: int,
+                      interpret: bool = False):
+    """Differentiable attention core: forward and VJP both run as Pallas
+    kernels (XLA's backward at window shapes re-materializes padded
+    per-window jacobians through HBM).  Compose this inside otherwise-XLA
+    reference functions to get fast recompute-style backwards."""
+    return attention_core(qkv, bias, scale, num_heads, interpret)
+
+
+def _core_op_fwd(qkv, bias, scale, num_heads, interpret):
+    out = attention_core(qkv, bias, scale, num_heads, interpret)
+    return out, (qkv, bias)
+
+
+def _core_op_bwd(scale, num_heads, interpret, res, g):
+    qkv, bias = res
+    dqkv, dbias = attention_core_bwd(qkv, g.astype(qkv.dtype), bias, scale,
+                                     num_heads, interpret)
+    return dqkv, dbias.astype(bias.dtype)
+
+
+attention_core_op.defvjp(_core_op_fwd, _core_op_bwd)
+
+
+def _full_ref_fastcore(x, params, bias, dp, scale, num_heads, interpret,
+                       shift_spec=None):
+    """Whole-Swin-block reference with the attention core as a Pallas op
+    (used for backward recompute: big matmuls/LN stay XLA, the core and
+    its VJP run in VMEM).  ``bias`` is the combined (nWb, nH, N, N) array
+    or the (rel, mask) tuple of the shift path; ``dp`` is None or
+    per-row DropPath multipliers ((BW*N, 1), (BW*N, 1))."""
+    if isinstance(bias, tuple):
+        rel, mask = bias
+        bias = rel + mask[:, None]
+    BW, N, C = x.shape
+
+    if shift_spec is not None:
+        H, W, window, shift = shift_spec
+        nW = (H // window) * (W // window)
+        perm = jnp.asarray(_shift_perm(H, W, window, shift))
+        inv = jnp.zeros_like(perm).at[perm].set(
+            jnp.arange(perm.shape[0], dtype=perm.dtype))
+        xi = x.reshape(-1, nW * N, C)
+        x_in = jnp.take(xi, perm, axis=1).reshape(BW, N, C)
+    else:
+        x_in = x
+
+    ln1s, ln1b, wqkv, bqkv, wproj, bproj, ln2s, ln2b, w1, b1, w2, b2 = params
+    xf = x_in.astype(jnp.float32)
+    h1 = _ln(xf, ln1s, ln1b).astype(x.dtype)
+    QKV = (h1.reshape(-1, C) @ wqkv + bqkv).reshape(BW, N, 3 * C)
+    ctx = attention_core_op(QKV, bias, scale, num_heads, interpret)
+    attn = (ctx.reshape(-1, C) @ wproj).astype(jnp.float32) + bproj
+    attn = attn.reshape(BW, N, C)
+    if dp is not None:
+        attn = attn * dp[0].reshape(BW, N, 1)
+    res1 = xf + attn
+    h2 = _ln(res1, ln2s, ln2b).astype(x.dtype)
+    m = jax.nn.gelu((h2.reshape(-1, C) @ w1).astype(jnp.float32) + b1,
+                    approximate=False)
+    mlp = (m.astype(x.dtype) @ w2).astype(jnp.float32) + b2
+    mlp = mlp.reshape(BW, N, C)
+    if dp is not None:
+        mlp = mlp * dp[1].reshape(BW, N, 1)
+    y = (res1 + mlp).astype(x.dtype)
+
+    if shift_spec is not None:
+        yi = y.reshape(-1, nW * N, C)
+        y = jnp.take(yi, inv, axis=1).reshape(BW, N, C)
+    return y

@@ -395,3 +395,144 @@ def test_mlp_chunking_exact():
                              interpret=True, shift_spec=(H, W, win, shift))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_block_kernel_grad_shifted_patterns():
+    """Manual block backward (Pallas core VJP) with per-window bias
+    patterns (shifted SW-MSA case): grads must match the XLA reference,
+    including the un-merged per-pattern dbias."""
+    from mvlt_tpu.ops.pallas_attn import (_block_xla_ref,
+                                          window_block_attention)
+    rng = np.random.default_rng(14)
+    nWb, nH, N, C, B = 4, 2, 16, 16, 3
+    BW = B * nWb
+    x = jnp.asarray(rng.normal(size=(BW, N, C)) * 0.5, jnp.float32)
+    wqkv = jnp.asarray(rng.normal(size=(C, 3 * C)) * 0.1, jnp.float32)
+    bqkv = jnp.asarray(rng.normal(size=(3 * C,)) * 0.1, jnp.float32)
+    wproj = jnp.asarray(rng.normal(size=(C, C)) * 0.1, jnp.float32)
+    bproj = jnp.asarray(rng.normal(size=(C,)) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(nWb, nH, N, N)) * 0.1, jnp.float32)
+    scale = (C // nH) ** -0.5
+
+    g1 = jax.grad(lambda *a: window_block_attention(
+        *a, scale, nH, interpret=True).sum(),
+        argnums=(0, 1, 2, 3, 4, 5))(x, wqkv, bqkv, wproj, bproj, bias)
+    g2 = jax.grad(lambda *a: _block_xla_ref(*a, scale, nH).sum(),
+                  argnums=(0, 1, 2, 3, 4, 5))(x, wqkv, bqkv, wproj, bproj,
+                                              bias)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_attention_core_roundtrip():
+    """attention_core forward matches the einsum reference directly."""
+    from mvlt_tpu.ops.pallas_attn import attention_core
+    rng = np.random.default_rng(15)
+    BW, N, C, nH, nWb = 4, 12, 16, 2, 2
+    qkv = jnp.asarray(rng.normal(size=(BW, N, 3 * C)) * 0.5, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(nWb, nH, N, N)) * 0.1, jnp.float32)
+    scale = (C // nH) ** -0.5
+    Dh = C // nH
+    got = attention_core(qkv, bias, scale, nH, interpret=True)
+    q = qkv[:, :, :C].reshape(BW, N, nH, Dh).transpose(0, 2, 1, 3)
+    k = qkv[:, :, C:2 * C].reshape(BW, N, nH, Dh).transpose(0, 2, 1, 3)
+    v = qkv[:, :, 2 * C:].reshape(BW, N, nH, Dh).transpose(0, 2, 1, 3)
+    s = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k)
+    s = s + bias[jnp.arange(BW) % nWb]
+    p = jax.nn.softmax(s, axis=-1)
+    want = jnp.einsum("bhnm,bhmd->bhnd", p, v).transpose(0, 2, 1, 3) \
+        .reshape(BW, N, C)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def _mk_block_params(rng, C):
+    return tuple(jnp.asarray(a, jnp.float32) for a in [
+        np.ones(C), np.zeros(C),
+        rng.normal(size=(C, 3 * C)) * 0.1, np.zeros(3 * C),
+        rng.normal(size=(C, C)) * 0.1, np.zeros(C),
+        np.ones(C), np.zeros(C),
+        rng.normal(size=(C, 4 * C)) * 0.1, np.zeros(4 * C),
+        rng.normal(size=(4 * C, C)) * 0.1, np.zeros(C)])
+
+
+def test_full_block_grad_matches_xla():
+    """swin_full_block backward (fast-core composition) == grads of the
+    pure-XLA whole-block reference."""
+    from mvlt_tpu.ops.pallas_attn import _full_xla_ref, swin_full_block
+    rng = np.random.default_rng(16)
+    BW, N, C, nH = 4, 16, 16, 2
+    x = jnp.asarray(rng.normal(size=(BW, N, C)) * 0.5, jnp.float32)
+    params = _mk_block_params(rng, C)
+    bias = jnp.asarray(rng.normal(size=(1, nH, N, N)) * 0.1, jnp.float32)
+    scale = (C // nH) ** -0.5
+    g1 = jax.grad(lambda x, p, b: swin_full_block(
+        x, p, b, scale, nH, interpret=True).sum(),
+        argnums=(0, 1, 2))(x, params, bias)
+    g2 = jax.grad(lambda x, p, b: _full_xla_ref(
+        x, p, b, scale, nH).sum(), argnums=(0, 1, 2))(x, params, bias)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_full_block_droppath_multipliers():
+    """dp multipliers: forward equals the reference with per-sample
+    branch scaling, and grads agree with the fastcore reference."""
+    from mvlt_tpu.ops.pallas_attn import (_full_ref_fastcore,
+                                          swin_full_block)
+    rng = np.random.default_rng(17)
+    BW, N, C, nH = 4, 16, 16, 2
+    x = jnp.asarray(rng.normal(size=(BW, N, C)) * 0.5, jnp.float32)
+    params = _mk_block_params(rng, C)
+    bias = jnp.asarray(rng.normal(size=(1, nH, N, N)) * 0.1, jnp.float32)
+    scale = (C // nH) ** -0.5
+    keep = 0.8
+    m1 = jnp.asarray(rng.integers(0, 2, (BW * N, 1)), jnp.float32) / keep
+    m2 = jnp.asarray(rng.integers(0, 2, (BW * N, 1)), jnp.float32) / keep
+
+    got = swin_full_block(x, params, bias, scale, nH, interpret=True,
+                          dp=(m1, m2))
+    want = _full_ref_fastcore(x, params, bias, (m1, m2), scale, nH, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+    g1 = jax.grad(lambda x, p: swin_full_block(
+        x, p, bias, scale, nH, interpret=True, dp=(m1, m2)).sum(),
+        argnums=(0, 1))(x, params)
+    g2 = jax.grad(lambda x, p: _full_ref_fastcore(
+        x, p, bias, (m1, m2), scale, nH, True).sum(),
+        argnums=(0, 1))(x, params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_shift_folded_block_grad_matches_ref():
+    from mvlt_tpu.ops.pallas_attn import (_full_xla_ref_shift,
+                                          swin_full_block)
+    rng = np.random.default_rng(18)
+    H = W = 8
+    win, shift, C, nH, B = 4, 2, 16, 2, 2
+    N = win * win
+    nW = 4
+    x = jnp.asarray(rng.normal(size=(B * nW, N, C)) * 0.5, jnp.float32)
+    params = _mk_block_params(rng, C)
+    rel = jnp.asarray(rng.normal(size=(1, nH, N, N)) * 0.1, jnp.float32)
+    mask = jnp.asarray(
+        np.where(rng.random((nW, N, N)) < 0.2, -100.0, 0.0), jnp.float32)
+    scale = (C // nH) ** -0.5
+    g1 = jax.grad(lambda x, p, r: swin_full_block(
+        x, p, (r, mask), scale, nH, interpret=True,
+        shift_spec=(H, W, win, shift)).sum(), argnums=(0, 1, 2))(
+            x, params, rel)
+    g2 = jax.grad(lambda x, p, r: _full_xla_ref_shift(
+        x, p, (r, mask), scale, nH, (H, W, win, shift)).sum(),
+        argnums=(0, 1, 2))(x, params, rel)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
