@@ -1259,8 +1259,11 @@ def fused_attn_ln(x, wqkv, bqkv, wproj, bproj, kbias, lns, lnb,
                         constant_values=-1e9)
 
     G = group
+    # working set ~20 B per (row, chan): x/out bf16 double-buffered, QKV
+    # f32 transient, ctx scratch — the old 36 B estimate forced G=2 and
+    # 2x the program count needed
     while G > 1 and (B % G != 0
-                     or G * N_pad * C * 9 * 4 > 8 * 1024 * 1024):
+                     or G * N_pad * C * 20 > 8 * 1024 * 1024):
         G //= 2
 
     x2 = x.reshape(B * N_pad, C)
@@ -1349,14 +1352,11 @@ def fused_mlp_ln(x, w1, b1, w2, b2, lns, lnb, eps: float = 1e-12,
     x2 = x.reshape(-1, C)
     M = x2.shape[0]
     R = rows
-    while R > 8 and M % R != 0:
-        R //= 2
-    if M % R != 0:                      # awkward row count: pad to 8
-        M_pad = -(-M // 8) * 8
+    if M % R != 0:
+        # pad the row dim up to a whole chunk: big chunks keep the MXU
+        # M-dimension full (a divisor search can degrade to tiny R)
+        M_pad = -(-M // R) * R
         x2 = jnp.pad(x2, ((0, M_pad - M), (0, 0)))
-        R = 8
-        while R * 2 <= rows and M_pad % (R * 2) == 0:
-            R *= 2
         M = M_pad
 
     grid = (M // R,)
@@ -1573,14 +1573,11 @@ def fused_mlp_preln(x, ln2s, ln2b, w1, b1, w2, b2, rows: int = 128,
     x2 = x.reshape(-1, C)
     M = x2.shape[0]
     R = rows
-    while R > 8 and M % R != 0:
-        R //= 2
     if M % R != 0:
-        M_pad = -(-M // 8) * 8
+        # pad the row dim up to a whole chunk: big chunks keep the MXU
+        # M-dimension full (a divisor search can degrade to tiny R)
+        M_pad = -(-M // R) * R
         x2 = jnp.pad(x2, ((0, M_pad - M), (0, 0)))
-        R = 8
-        while R * 2 <= rows and M_pad % (R * 2) == 0:
-            R *= 2
         M = M_pad
 
     grid = (M // R,)
