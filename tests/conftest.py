@@ -3,17 +3,24 @@ paths are testable without TPU hardware."""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: driver env may preset a TPU platform
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+# MVLT_TPU_TESTS=1 opts into the real-TPU parity module
+# (tests/test_tpu_parity.py — run it alone); everything else runs on the
+# virtual 8-device CPU mesh.
+_ON_CHIP = bool(os.environ.get("MVLT_TPU_TESTS"))
+
+if not _ON_CHIP:
+    os.environ["JAX_PLATFORMS"] = "cpu"  # driver env may preset a TPU platform
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
 
 # sitecustomize may have registered a TPU plugin and latched JAX_PLATFORMS
 # before this conftest ran; override at the config level too.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _ON_CHIP:
+    jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 import sys
