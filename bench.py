@@ -87,6 +87,40 @@ def measure_caption_decode(batch: int = 8, num_beams: int = 3,
     return batch * max_length / dt
 
 
+def measure_retrieval_scoring(batch: int = 128, iters: int = 20) -> float:
+    """Retrieval ITM scoring throughput (pairs/sec) — the N^2 grid sweep
+    that dominates retrieval eval (reference run_retrieval.py:192-217
+    enumerates pairs one Dataset item at a time; here one compiled
+    batched scorer)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mvlt_tpu.flagship import flagship_vqa_config, zeros_init
+    from mvlt_tpu.models.heads import RetrievalModel
+
+    cfg = flagship_vqa_config()
+    model = RetrievalModel(cfg, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.normal(size=(batch, 3, 224, 224)), jnp.float32)
+    caption = jnp.asarray(rng.integers(1, 30000, (batch, 40)), jnp.int32)
+    variables = zeros_init(model, image, caption)
+
+    def loop(variables, image, caption):
+        def body(img, _):
+            prob = model.apply(variables, img, caption, deterministic=True,
+                               method=model.score)
+            return img + (prob.mean() * 1e-12).astype(img.dtype), prob.mean()
+        _, means = jax.lax.scan(body, image, None, length=iters)
+        return means.sum()
+
+    jloop = jax.jit(loop)
+    float(jax.device_get(jloop(variables, image, caption)))
+    t0 = time.perf_counter()
+    float(jax.device_get(jloop(variables, image, caption)))
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
 def measure_pretrain_step(batch: int = 32, iters: int = 10) -> float:
     """Full training-step throughput (fwd+bwd+AdamW), flagship pretrain
     model at the reference's config of record (Swin-S, batch 32, MLM+ITM,
@@ -136,7 +170,7 @@ def main() -> None:
     ap.add_argument("--cpu-baseline", action="store_true",
                     help="measure the CPU float32 batch-8 baseline and exit")
     ap.add_argument("--mode", default="vqa",
-                    choices=["vqa", "caption", "pretrain"])
+                    choices=["vqa", "caption", "pretrain", "retrieval"])
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--iters", type=int, default=None)
     args = ap.parse_args()
@@ -145,6 +179,12 @@ def main() -> None:
         val = measure_caption_decode(args.batch or 8)
         print(json.dumps({"metric": "caption_beam3_tokens_per_sec",
                           "value": round(val, 2), "unit": "tokens/sec",
+                          "vs_baseline": 0.0}))
+        return
+    if args.mode == "retrieval":
+        val = measure_retrieval_scoring(args.batch or 128, args.iters or 20)
+        print(json.dumps({"metric": "retrieval_itm_pairs_per_sec",
+                          "value": round(val, 2), "unit": "pairs/sec",
                           "vs_baseline": 0.0}))
         return
     if args.mode == "pretrain":

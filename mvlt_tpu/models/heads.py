@@ -172,6 +172,21 @@ class RetrievalModel(nn.Module):
         logits = self(image, caption, deterministic)
         return nn.softmax(logits, axis=-1)[:, 1]
 
+    def encode_image(self, image, deterministic: bool = True):
+        """Backbone features only — lets the NxN retrieval grid run the
+        visual encoder N times instead of N^2 (exact same scores; the
+        reference recomputes the backbone per pair, run_retrieval.py:204)."""
+        return self.conv(image, deterministic)
+
+    def score_from_features(self, feat, caption,
+                            deterministic: bool = True):
+        text_mask = caption > 0
+        image_mask = jnp.ones(feat.shape[:2], bool)
+        out = self.fusion(caption, text_mask, feat, image_mask,
+                          deterministic=deterministic)
+        logits = self.final_linear(self.transform(out.pooled))
+        return nn.softmax(logits, axis=-1)[:, 1]
+
     def loss(self, image, caption, label, deterministic: bool = False):
         logits = self(image, caption, deterministic)
         return cross_entropy_ignore_index(logits, label), logits

@@ -42,31 +42,67 @@ def train_retrieval(runner: TaskRunner, train_ds,
 
 def score_grid(runner: TaskRunner, test_ds, batch_size: int = 64
                ) -> Dict[str, np.ndarray]:
-    """testRetrieval (run_retrieval.py:192-217): P(match) for all NxN pairs,
-    batched through one compiled scorer."""
+    """testRetrieval (run_retrieval.py:192-217): P(match) for all NxN pairs.
+
+    The visual backbone runs once per IMAGE (N passes, batched and
+    cached as fusion-ready features); only the fusion encoder + ITM head
+    sweep the N^2 grid.  Exact same probabilities as the reference's
+    per-pair recomputation — the backbone output for image i does not
+    depend on the caption."""
     model = runner.model
-
-    @jax.jit
-    def score(variables, image, caption):
-        return model.apply(variables, image, caption, deterministic=True,
-                           method=model.score)
-
     variables = {"params": runner.state.params,
                  **runner.state.extra_variables}
     n = test_ds.img_num
-    loader = DataLoader(test_ds, batch_size, shuffle=False)
-    sims, labels = [], []
-    for batch in loader.epoch(0):
-        m = len(batch["label"])
-        pad = batch_size - m
-        img = np.pad(batch["image"],
-                     [(0, pad)] + [(0, 0)] * (batch["image"].ndim - 1))
-        cap = np.pad(batch["caption"], [(0, pad), (0, 0)])
-        s = np.asarray(score(variables, jnp.asarray(img), jnp.asarray(cap)))[:m]
-        sims.extend(s.tolist())
-        labels.extend(np.asarray(batch["label"]).tolist())
-    return {"similarities": np.asarray(sims).reshape(n, n),
-            "labels": np.asarray(labels).reshape(n, n)}
+
+    @jax.jit
+    def encode(variables, image):
+        return model.apply(variables, image, deterministic=True,
+                           method=model.encode_image)
+
+    @jax.jit
+    def score_feat(variables, feat, caption):
+        return model.apply(variables, feat, caption, deterministic=True,
+                           method=model.score_from_features)
+
+    # 1. materialize per-item images/captions/cap_ids once
+    images, caps, cap_ids = [], [], []
+    for i in range(n):
+        im, cap, _, cap_id = test_ds.source[i]
+        images.append(np.asarray(im))
+        caps.append(test_ds._cap_ids(cap))
+        cap_ids.append(cap_id)
+    caps = np.asarray(caps)
+
+    # 2. backbone once per image, batched
+    feats = []
+    for s0 in range(0, n, batch_size):
+        chunk = np.stack(images[s0:s0 + batch_size])
+        pad = batch_size - len(chunk)
+        if pad:
+            chunk = np.pad(chunk, [(0, pad)] + [(0, 0)] * (chunk.ndim - 1))
+        f = np.asarray(encode(variables, jnp.asarray(chunk)))
+        feats.append(f[:len(chunk) - pad if pad else batch_size])
+    feats = jnp.asarray(np.concatenate(feats, axis=0))      # (n, tokens, H)
+
+    # 3. fusion-only sweep over the grid, one image row at a time
+    sims = np.zeros((n, n), np.float32)
+    caps_j = jnp.asarray(caps)
+    for i in range(n):
+        row = []
+        fi = jnp.broadcast_to(feats[i][None], (batch_size,) + feats.shape[1:])
+        for s0 in range(0, n, batch_size):
+            cap_chunk = caps_j[s0:s0 + batch_size]
+            m = cap_chunk.shape[0]
+            if m < batch_size:
+                cap_chunk = jnp.pad(cap_chunk, ((0, batch_size - m), (0, 0)))
+            s = np.asarray(score_feat(variables, fi, cap_chunk))[:m]
+            row.append(s)
+        sims[i] = np.concatenate(row)
+
+    cap_ids = np.asarray(cap_ids)
+    labels = ((np.arange(n)[:, None] == np.arange(n)[None, :])
+              | (cap_ids[:, None] == cap_ids[None, :])).astype(np.int32)
+    return {"similarities": sims, "labels": labels}
 
 
 def eval_retrieval(runner: TaskRunner, test_ds,

@@ -48,7 +48,8 @@ def latest_checkpoint(path: str) -> Optional[str]:
     if not os.path.isdir(path):
         return None
     steps = sorted(d for d in os.listdir(path) if d.startswith("step_"))
-    return os.path.join(path, steps[-1]) if steps else None
+    # orbax requires absolute paths (tensorstore kvstore spec)
+    return os.path.join(os.path.abspath(path), steps[-1]) if steps else None
 
 
 def restore_checkpoint(path: str, state: Any) -> Tuple[Any, bool]:
