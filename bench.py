@@ -21,6 +21,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Persistent compilation cache: the flagship graph takes minutes to
+# compile through the remote-compile tunnel; cache hits make repeat
+# bench runs (e.g. the driver's end-of-round run) start in seconds.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
+
 # Measured on this image's CPU (see module docstring): flagship VQA forward,
 # batch 8, float32, mean of 5 timed iters after warmup.
 CPU_BASELINE_SAMPLES_PER_SEC = 2.95
