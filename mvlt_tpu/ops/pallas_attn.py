@@ -1424,13 +1424,14 @@ def _attn_half_kernel(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
     H1 = _ln(X, ln1s_ref[:], ln1b_ref[:], fast=fast)
     QKV = dot(H1.astype(x_ref.dtype), wqkv_ref[:])
     QKV = (QKV + bqkv_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
-    for g in range(G):
+    base = pl.program_id(0) * G      # 1-D grid + full bias resident:
+    for g in range(G):               # pattern index needs the grid offset
         rows = QKV[g * N:(g + 1) * N]
         for hh in range(num_heads):
             q = rows[:, hh * Dh:(hh + 1) * Dh].astype(jnp.float32) * scale
             k = rows[:, C + hh * Dh:C + (hh + 1) * Dh].astype(jnp.float32)
             v = rows[:, 2 * C + hh * Dh:2 * C + (hh + 1) * Dh]
-            ctx = _attend(q, k, v, bias_ref[g % Gb, hh], fast)
+            ctx = _attend(q, k, v, bias_ref[(base + g) % Gb, hh], fast)
             ctx_ref[g * N:(g + 1) * N, hh * Dh:(hh + 1) * Dh] = \
                 ctx.astype(ctx_ref.dtype)
     attn = dot(ctx_ref[:], wproj_ref[:])
@@ -1636,13 +1637,19 @@ def _core_fwd_kernel(qkv_ref, bias_ref, o_ref, *, scale: float,
     C = C3 // 3
     Gb = bias_ref.shape[0]
     Dh = C // num_heads
+    # The grid is 1-D over ALL windows (batch-major) with the full bias
+    # pattern set resident, so the pattern index must include the grid
+    # offset: window (i*G + g) uses pattern (i*G + g) % Gb.  `g % Gb`
+    # alone is only right when Gb | G — with G < Gb (merged shifted
+    # stages) it silently applies the wrong shift mask.
+    base = pl.program_id(0) * G
     for g in range(G):
         rows = qkv_ref[g]
         for hh in range(num_heads):
             q = rows[:, hh * Dh:(hh + 1) * Dh].astype(jnp.float32) * scale
             k = rows[:, C + hh * Dh:C + (hh + 1) * Dh].astype(jnp.float32)
             v = rows[:, 2 * C + hh * Dh:2 * C + (hh + 1) * Dh]
-            ctx = _attend(q, k, v, bias_ref[g % Gb, hh], fast)
+            ctx = _attend(q, k, v, bias_ref[(base + g) % Gb, hh], fast)
             o_ref[g, :, hh * Dh:(hh + 1) * Dh] = ctx.astype(o_ref.dtype)
 
 
@@ -1658,6 +1665,7 @@ def _core_bwd_kernel(qkv_ref, dctx_ref, bias_ref, dqkv_ref, dbias_ref, *,
         dbias_ref[...] = jnp.zeros_like(dbias_ref)
 
     ones = jnp.ones((N, 1), jnp.float32)
+    base = pl.program_id(0) * G      # see _core_fwd_kernel pattern note
 
     for g in range(G):
         rows = qkv_ref[g]
@@ -1668,7 +1676,7 @@ def _core_bwd_kernel(qkv_ref, dctx_ref, bias_ref, dqkv_ref, dbias_ref, *,
                 jnp.float32)
             s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
-            s = s + bias_ref[g % Gb, hh]
+            s = s + bias_ref[(base + g) % Gb, hh]
             s = s - jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s)
             denom = jax.lax.dot_general(e, ones, (((1,), (0,)), ((), ())),
@@ -1698,7 +1706,7 @@ def _core_bwd_kernel(qkv_ref, dctx_ref, bias_ref, dqkv_ref, dbias_ref, *,
                 dk.astype(dqkv_ref.dtype)
             dqkv_ref[g, :, 2 * C + hh * Dh:2 * C + (hh + 1) * Dh] = \
                 dv.astype(dqkv_ref.dtype)
-            dbias_ref[g % Gb, hh] += ds
+            dbias_ref[(base + g) % Gb, hh] += ds
 
 
 def _core_merge(qkv, bias):
@@ -1841,6 +1849,13 @@ def _full_ref_fastcore(x, params, bias, dp, scale, num_heads, interpret,
             jnp.arange(perm.shape[0], dtype=perm.dtype))
         xi = x.reshape(-1, nW * N, C)
         x_in = jnp.take(xi, perm, axis=1).reshape(BW, N, C)
+        if dp is not None:
+            # permute the per-row multipliers alongside x (matches
+            # _full_shift_kernel_dp) so generic per-row callers stay
+            # forward/backward consistent, not just per-sample-constant dp
+            dp = tuple(
+                jnp.take(d.reshape(-1, nW * N, 1), perm, axis=1)
+                .reshape(BW * N, 1) for d in dp)
     else:
         x_in = x
 

@@ -39,18 +39,24 @@ def load_library(path: str = _LIB_PATH) -> Optional[ctypes.CDLL]:
 
 
 _PTB_LIB = None
+_PTB_PROBES_LEFT = 3
 
 
 def ptb_tokenize_native(text: str) -> Optional[str]:
     """Native PTB tokenization (csrc/ptb.cc); None if unavailable or the
     input is non-ASCII (caller falls back to the Python port)."""
-    global _PTB_LIB
+    global _PTB_LIB, _PTB_PROBES_LEFT
     if not _PTB_LIB:
-        # Re-probe on every call while unavailable: the library may be
-        # built after the first (failed) lookup.
+        # Bounded re-probing: the library may be built shortly after the
+        # first (failed) lookup, but when it is genuinely absent a
+        # per-call dlopen/stat in tokenization loops is pure overhead.
+        if _PTB_PROBES_LEFT <= 0:
+            return None
+        _PTB_PROBES_LEFT -= 1
         _PTB_LIB = load_library()
         if _PTB_LIB is None:
             return None
+        _PTB_PROBES_LEFT = 3
     if not text.isascii():
         return None
     buf = ctypes.create_string_buffer(max(4096, len(text) * 3 + 16))

@@ -447,6 +447,45 @@ def test_attention_core_roundtrip():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_attention_core_misaligned_groups():
+    """attention_core fwd+grad with MORE bias patterns than the program
+    group size (merged nWb=16 > G=8): programs not aligned to an image
+    boundary must still pick the right pattern (regression: the kernels
+    indexed bias by the program-local window index only)."""
+    from mvlt_tpu.ops.pallas_attn import _core_pick_group, attention_core_op
+    rng = np.random.default_rng(17)
+    BW, N, C, nH, nWb = 32, 12, 16, 2, 32
+    # geometry check: after pair-merging this becomes BW=16, N=24, nWb=16
+    # and the group picker must land on G < nWb for the test to bite
+    G = _core_pick_group(16, 24, 3 * C, 16)
+    assert G < 16, f"geometry no longer misaligned (G={G}); update shapes"
+    qkv = jnp.asarray(rng.normal(size=(BW, N, 3 * C)) * 0.5, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(nWb, nH, N, N)) * 0.5, jnp.float32)
+    scale = (C // nH) ** -0.5
+    Dh = C // nH
+
+    def ref(qkv, bias):
+        q = qkv[:, :, :C].reshape(BW, N, nH, Dh).transpose(0, 2, 1, 3)
+        k = qkv[:, :, C:2 * C].reshape(BW, N, nH, Dh).transpose(0, 2, 1, 3)
+        v = qkv[:, :, 2 * C:].reshape(BW, N, nH, Dh).transpose(0, 2, 1, 3)
+        s = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k)
+        s = s + bias[jnp.arange(BW) % nWb]
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bhnm,bhmd->bhnd", p, v).transpose(0, 2, 1, 3) \
+            .reshape(BW, N, C)
+
+    got = attention_core_op(qkv, bias, scale, nH, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref(qkv, bias)),
+                               atol=1e-5, rtol=1e-5)
+
+    g1 = jax.grad(lambda q, b: attention_core_op(q, b, scale, nH, True)
+                  .sum(), argnums=(0, 1))(qkv, bias)
+    g2 = jax.grad(lambda q, b: ref(q, b).sum(), argnums=(0, 1))(qkv, bias)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
 def _mk_block_params(rng, C):
     return tuple(jnp.asarray(a, jnp.float32) for a in [
         np.ones(C), np.zeros(C),
