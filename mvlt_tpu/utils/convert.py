@@ -170,6 +170,17 @@ def _conv_layer_from_torch(sd: Dict[str, np.ndarray], conv: str, depths=None,
     stats = None
     if conv.lower() in ("swin", "swintransformer"):
         out["backbone"] = swin_from_torch(sd, depths, prefix="conv.conv.0.")
+    elif conv == "linear":
+        # linear_patch_16x16: Conv2d 3->768 k16 s16 + BatchNorm2d + ReLU
+        # (visual_feature_extractor.py:47-59) -> our LinearPatch proj/bn
+        p = "conv.conv.0."
+        out["backbone"] = {
+            "proj": {"kernel": _conv_kernel(sd[p + "linear_patch.weight"]),
+                     "bias": sd[p + "linear_patch.bias"]},
+            "bn": {"scale": sd[p + "bn.weight"], "bias": sd[p + "bn.bias"]},
+        }
+        stats = {"backbone": {"bn": {"mean": sd[p + "bn.running_mean"],
+                                     "var": sd[p + "bn.running_var"]}}}
     elif conv in ("resnet101", "resnet50"):
         variables = resnet_from_torchvision(sd, layers, prefix="conv.conv.0.")
         out["backbone"] = variables["params"]
