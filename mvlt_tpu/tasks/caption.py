@@ -57,9 +57,12 @@ def eval_caption(runner: TaskRunner, test_ds, tokenizer,
     spec = GenerationSpec.from_config(runner.config, num_beams=num_beams,
                                       strategy=strategy)
 
-    @jax.jit
-    def decode(variables, image):
-        return generate(model, variables, image, spec)
+    def _decode_factory():
+        def decode(variables, image):
+            return generate(model, variables, image, spec)
+        return decode
+
+    decode = runner.compiled(("caption_decode", spec), _decode_factory)
 
     variables = {"params": runner.state.params,
                  **runner.state.extra_variables}

@@ -44,6 +44,21 @@ class TaskRunner:
         self.mesh = build_mesh(train_config.mesh)
         self.state = None
         self.shardings = None
+        self._compiled: Dict[Any, Any] = {}
+
+    def compiled(self, key, factory):
+        """Process-lifetime cache for jitted eval/decode functions.
+
+        Defining ``@jax.jit`` closures inside an eval function creates a
+        fresh function object (and jit cache) per call, so per-epoch
+        validation re-traces and re-compiles every epoch — minutes per
+        compile at flagship scale.  Cache the jitted callable by a
+        semantic key instead; jax's own cache then handles shape/dtype
+        specialization within it."""
+        fn = self._compiled.get(key)
+        if fn is None:
+            fn = self._compiled[key] = jax.jit(factory())
+        return fn
 
     def init_state(self, example_batch_args: tuple,
                    pretrained_variables: Optional[Any] = None,

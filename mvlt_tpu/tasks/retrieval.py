@@ -54,15 +54,20 @@ def score_grid(runner: TaskRunner, test_ds, batch_size: int = 64
                  **runner.state.extra_variables}
     n = test_ds.img_num
 
-    @jax.jit
-    def encode(variables, image):
-        return model.apply(variables, image, deterministic=True,
-                           method=model.encode_image)
+    def _encode_factory():
+        def encode(variables, image):
+            return model.apply(variables, image, deterministic=True,
+                               method=model.encode_image)
+        return encode
 
-    @jax.jit
-    def score_feat(variables, feat, caption):
-        return model.apply(variables, feat, caption, deterministic=True,
-                           method=model.score_from_features)
+    def _score_factory():
+        def score_feat(variables, feat, caption):
+            return model.apply(variables, feat, caption, deterministic=True,
+                               method=model.score_from_features)
+        return score_feat
+
+    encode = runner.compiled("retrieval_encode", _encode_factory)
+    score_feat = runner.compiled("retrieval_score", _score_factory)
 
     # 1. materialize per-item images/captions/cap_ids once
     images, caps, cap_ids = [], [], []

@@ -23,11 +23,14 @@ def eval_vqa(runner: TaskRunner, dataset, batch_size: int = 64,
     """testVQA equivalent (run_vqa.py:137-190)."""
     model = runner.model
 
-    @jax.jit
-    def fwd(variables, image, question):
-        _, logits = model.apply(variables, image, question,
-                                deterministic=True)
-        return jnp.argmax(logits, -1)
+    def _fwd_factory():
+        def fwd(variables, image, question):
+            _, logits = model.apply(variables, image, question,
+                                    deterministic=True)
+            return jnp.argmax(logits, -1)
+        return fwd
+
+    fwd = runner.compiled("vqa_eval_fwd", _fwd_factory)
 
     variables = {"params": runner.state.params,
                  **runner.state.extra_variables}

@@ -106,3 +106,24 @@ def test_eval_vqa_writes_predictions(tmp_path):
     import json
     preds = json.load(open(path))
     assert len(preds) == 8 and {"pred", "label", "answer_type"} <= set(preds[0])
+
+
+def test_eval_reuses_compiled_fn():
+    """Per-epoch validation must hit the jit cache, not re-trace: the
+    runner caches compiled eval fns by semantic key (regression for
+    closures defined inside eval that re-compiled every epoch)."""
+    tok = WordPieceTokenizer(VOCAB)
+    cfg = tiny_cfg().with_tokenizer(tok)
+    ds = _vqa_data(8, tok)
+    runner = TaskRunner(VQAModel(cfg), cfg, TrainConfig(batch_size=8),
+                        name="test-vqa-cache")
+    s = ds[0]
+    runner.init_state((jnp.asarray(s["image"][None]),
+                       jnp.asarray(s["question"][None])))
+    eval_vqa(runner, ds, batch_size=8)
+    fn1 = runner._compiled["vqa_eval_fwd"]
+    assert fn1._cache_size() == 1
+    eval_vqa(runner, ds, batch_size=8)
+    fn2 = runner._compiled["vqa_eval_fwd"]
+    assert fn2 is fn1                      # same jitted callable
+    assert fn2._cache_size() == 1          # no re-trace on the 2nd eval
