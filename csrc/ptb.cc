@@ -29,6 +29,48 @@ bool is_open_context(char prev) {
          prev == '{' || prev == '<';
 }
 
+// Must stay in sync with ABBREVIATIONS in mvlt_tpu/metrics/ptb.py
+// (fixture-parity-tested in tests/test_native.py).
+const std::unordered_set<std::string>& abbrev_set() {
+  static const std::unordered_set<std::string> kAbbrev = {
+      "mr.", "mrs.", "ms.", "dr.", "prof.", "rev.", "gen.", "gov.", "sen.",
+      "rep.", "col.", "maj.", "sgt.", "capt.", "lt.", "cmdr.", "adm.",
+      "hon.", "jr.", "sr.",
+      "inc.", "corp.", "co.", "ltd.", "bros.", "dept.", "univ.",
+      "st.", "ave.", "blvd.", "rd.", "mt.", "hwy.",
+      "jan.", "feb.", "mar.", "apr.", "jun.", "jul.", "aug.", "sep.",
+      "sept.", "oct.", "nov.", "dec.",
+      "etc.", "vs.", "cf.", "al.", "viz.", "e.g.", "i.e.", "fig.", "figs.",
+      "vol.", "vols.", "approx.",
+      "cm.", "mm.", "ml.", "mg.", "kg."};
+  return kAbbrev;
+}
+
+// ^([A-Za-z]\.)+[A-Za-z]?\.?$  — internal-period acronym ("u.s.", "a.m.")
+bool is_acronym(const std::string& w) {
+  size_t i = 0;
+  size_t pairs = 0;
+  while (i + 1 < w.size() && std::isalpha((unsigned char)w[i]) &&
+         w[i + 1] == '.') {
+    i += 2;
+    ++pairs;
+  }
+  if (pairs == 0) return false;
+  if (i == w.size()) return true;
+  if (std::isalpha((unsigned char)w[i])) {
+    ++i;
+    if (i == w.size()) return true;
+    if (w[i] == '.' && i + 1 == w.size()) return true;
+  }
+  return false;
+}
+
+std::string lower(const std::string& s) {
+  std::string o = s;
+  for (char& c : o) c = (char)std::tolower((unsigned char)c);
+  return o;
+}
+
 // mirrors _ptb_tokenize_line in mvlt_tpu/metrics/ptb.py
 std::string ptb_line(const std::string& text) {
   std::string t;
@@ -102,17 +144,35 @@ std::string ptb_line(const std::string& text) {
     }
   }
 
-  // pass 5: periods followed by whitespace/eos
+  // pass 5: token-wise sentence-period splitting — a trailing period
+  // detaches unless the token is a known abbreviation or an
+  // internal-period acronym (mirrors _split_periods in metrics/ptb.py)
   std::string e;
   e.reserve(d.size() * 2);
-  for (size_t i = 0; i < d.size(); ++i) {
-    if (d[i] == '.' &&
-        (i + 1 == d.size() || std::isspace((unsigned char)d[i + 1]))) {
-      e += " . ";
-      // keep the following whitespace (regex \.(\s|$) -> " . \1")
-      continue;
+  {
+    std::string tok;
+    auto flush_tok = [&]() {
+      if (tok.empty()) return;
+      bool trailing = tok.size() >= 1 && tok.back() == '.' &&
+                      !(tok.size() >= 3 &&
+                        tok.compare(tok.size() - 3, 3, "...") == 0);
+      if (trailing && !abbrev_set().count(lower(tok)) && !is_acronym(tok)) {
+        if (tok.size() > 1) {
+          e += tok.substr(0, tok.size() - 1);
+          e += ' ';
+        }
+        e += ". ";
+      } else {
+        e += tok;
+        e += ' ';
+      }
+      tok.clear();
+    };
+    for (char c : d) {
+      if (std::isspace((unsigned char)c)) flush_tok();
+      else tok += c;
     }
-    e += d[i];
+    flush_tok();
   }
 
   // pass 6: contractions (n't, 'll, 're, 've, 's, 'm, 'd) + possessive

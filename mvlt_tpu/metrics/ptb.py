@@ -25,6 +25,56 @@ _BRACKETS = {"(": "-LRB-", ")": "-RRB-", "[": "-LSB-", "]": "-RSB-",
 _CONTRACTIONS = re.compile(
     r"(?i)(n't|'ll|'re|'ve|'s|'m|'d)\b")
 
+# Stanford PTBLexer keeps the trailing period attached to known
+# abbreviations ("st.", "dr.", "etc.") and to acronyms with internal
+# periods ("u.s.", "a.m."); at sentence end it ALSO emits a duplicated
+# bare "." token (default, non-strictTreebank3 behavior).  The metric
+# path strips bare "." afterwards (PUNCTUATIONS), so the duplication is
+# invisible there and this port keeps only the attached period.  The set
+# below is the unambiguous subset of the PTBLexer gazette (context-
+# dependent entries like "no."/"in." are deliberately excluded: treating
+# them as abbreviations would be wrong more often than right in caption
+# and report text).  Must stay in sync with kAbbrev in csrc/ptb.cc
+# (parity-tested on the reference's real tokenizer fixture corpus).
+ABBREVIATIONS = frozenset({
+    # titles
+    "mr.", "mrs.", "ms.", "dr.", "prof.", "rev.", "gen.", "gov.", "sen.",
+    "rep.", "col.", "maj.", "sgt.", "capt.", "lt.", "cmdr.", "adm.",
+    "hon.", "jr.", "sr.",
+    # organizations
+    "inc.", "corp.", "co.", "ltd.", "bros.", "dept.", "univ.",
+    # places
+    "st.", "ave.", "blvd.", "rd.", "mt.", "hwy.",
+    # months
+    "jan.", "feb.", "mar.", "apr.", "jun.", "jul.", "aug.", "sep.",
+    "sept.", "oct.", "nov.", "dec.",
+    # latin / scholarly
+    "etc.", "vs.", "cf.", "al.", "viz.", "e.g.", "i.e.", "fig.", "figs.",
+    "vol.", "vols.", "approx.",
+    # units common in medical reports
+    "cm.", "mm.", "ml.", "mg.", "kg.",
+})
+
+_ACRONYM = re.compile(r"^([A-Za-z]\.)+[A-Za-z]?\.?$")
+
+
+def _split_periods(t: str) -> str:
+    """Token-wise sentence-period splitting: a trailing period detaches
+    unless the token is a known abbreviation or an internal-period
+    acronym (mirrors Stanford PTBLexer; see ABBREVIATIONS note)."""
+    toks = []
+    for w in t.split():
+        if w.endswith(".") and not w.endswith("..."):
+            if w.lower() in ABBREVIATIONS or _ACRONYM.match(w):
+                toks.append(w)
+                continue
+            if len(w) > 1:
+                toks.append(w[:-1])
+            toks.append(".")
+        else:
+            toks.append(w)
+    return " ".join(toks)
+
 
 def _ptb_tokenize_line(text: str) -> List[str]:
     t = text
@@ -42,8 +92,8 @@ def _ptb_tokenize_line(text: str) -> List[str]:
     t = re.sub(r",([^\d])", r" , \1", t)
     t = re.sub(r"([^:\d]):", r"\1 : ", t)      # colons not inside times
     t = t.replace(" - ", " -- ").replace("--", " -- ")
-    # periods: split when not part of an abbreviation-like token
-    t = re.sub(r"\.(\s|$)", r" . \1", t)
+    # periods: token-wise, abbreviation/acronym-aware
+    t = _split_periods(t)
     # contractions
     t = _CONTRACTIONS.sub(r" \1", t)
     # possessive plural: dogs' -> dogs '
