@@ -1,96 +1,185 @@
-"""METEOR (exact + Porter-stem matching), Java-free.
+"""METEOR, Java-free (reference drives ``meteor-1.5.jar`` over stdio,
+``pycocoevalcap/meteor/meteor.py:17-58`` — ``-l en -norm``).
 
-The reference drives ``meteor-1.5.jar`` over a stdio line protocol
-(``pycocoevalcap/meteor/meteor.py:17-58``).  This is a native
-reimplementation of the METEOR algorithm with the *exact* and *stem*
-modules; the *synonym*/*paraphrase* modules require WordNet and the
-paraphrase tables embedded in the jar, which are unavailable offline —
-scores therefore lower-bound meteor-1.5 (documented deviation; BLEU /
-ROUGE-L / CIDEr are the exactly-matched metrics).
+Faithful to the Meteor 1.5 algorithm (Denkowski & Lavie 2014) within
+what is implementable offline:
 
-Scoring follows the original METEOR formulation (Banerjee & Lavie 2005):
-Fmean = P*R / (alpha*P + (1-alpha)*R) with alpha=0.9, fragmentation
-penalty gamma * (chunks/matches)^beta with gamma=0.5, beta=3 (identical
-sentences score ~1).  Corpus score aggregates segment statistics
-(micro-average), like the jar's final score.
+- **Matchers**: *exact* and *Porter-stem* modules with the English module
+  weights (1.0 / 0.6).  The *synonym* (WordNet) and *paraphrase* (table
+  in the jar) modules need data files that are unavailable offline —
+  documented deviation; matched scores lower-bound the jar's.
+- **Alignment**: Meteor's actual resolution, not a greedy scan — among
+  all one-to-one match sets, pick the alignment that (1) maximizes
+  covered words, (2) minimizes chunks, (3) minimizes total |i-j|
+  distance, via beam search over hypothesis positions (exact at beam
+  width >= candidates^2 for typical report lengths).
+- **Scoring**: Meteor 1.5 English (default "rank" task) parameters
+  alpha=0.85, beta=0.2, gamma=0.6, delta=0.75 with content/function word
+  discrimination (function-word list approximates the jar's
+  frequency-derived ``function.words``).  A single chunk covering every
+  word in both strings has zero fragmentation (identical sentences score
+  1.0, matching the jar).
+- **Corpus score**: aggregate of segment statistics (micro-average),
+  like MeteorStats accumulation in the jar.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 from mvlt_tpu.metrics.porter import porter_stem
 
-ALPHA, BETA, GAMMA = 0.9, 3.0, 0.5
+ALPHA, BETA, GAMMA, DELTA = 0.85, 0.2, 0.6, 0.75
+MODULE_WEIGHTS = (1.0, 0.6)          # exact, stem (en defaults)
+BEAM = 64
+
+# Approximation of meteor-1.5's English function.words (words with
+# relative frequency >= 1e-3 in its corpus): articles, auxiliaries,
+# prepositions, conjunctions, pronouns, common adverbs/particles.
+FUNCTION_WORDS = frozenset("""
+a an the and or but nor so yet for of in on at by to from with without
+within into onto under over above below between among through during
+before after since until about against along across behind beyond near
+off out up down is are was were be been being am do does did done doing
+have has had having will would shall should may might must can could
+it its it's this that these those he him his she her hers they them
+their theirs we us our ours you your yours i me my mine who whom whose
+which what when where why how there here not no nor as if then than too
+very just also only both each few more most other some such own same
+all any because while with
+""".split())
 
 
-def _align(hyp: List[str], ref: List[str]) -> List[Tuple[int, int]]:
-    """Stage-wise greedy alignment: exact first, then stem, each stage
-    matching left-to-right in a monotonic-preferring order."""
-    matched_h = [False] * len(hyp)
-    matched_r = [False] * len(ref)
-    pairs: List[Tuple[int, int]] = []
-
-    def stage(key_h, key_r):
-        for i, h in enumerate(hyp):
-            if matched_h[i]:
-                continue
-            kh = key_h(h)
-            for j, r in enumerate(ref):
-                if not matched_r[j] and kh == key_r(r):
-                    matched_h[i] = matched_r[j] = True
-                    pairs.append((i, j))
-                    break
-
-    stage(lambda w: w, lambda w: w)                       # exact
-    stage(porter_stem, porter_stem)                       # stem
-    return sorted(pairs)
+def _candidate_matches(hyp: Sequence[str], ref: Sequence[str]
+                       ) -> Dict[Tuple[int, int], int]:
+    """(i, j) -> best module index (0 exact, 1 stem)."""
+    out: Dict[Tuple[int, int], int] = {}
+    ref_stems = [porter_stem(r) for r in ref]
+    for i, h in enumerate(hyp):
+        hs = None
+        for j, r in enumerate(ref):
+            if h == r:
+                out[(i, j)] = 0
+            else:
+                if hs is None:
+                    hs = porter_stem(h)
+                if hs == ref_stems[j]:
+                    out.setdefault((i, j), 1)
+    return out
 
 
-def _chunks(pairs: List[Tuple[int, int]]) -> int:
+def _align(hyp: Sequence[str], ref: Sequence[str]
+           ) -> List[Tuple[int, int, int]]:
+    """Meteor alignment resolution: returns [(i, j, module)] maximizing
+    (covered words, -chunks, -total distance) via beam search over
+    hypothesis positions (each hyp word matches at most one free ref
+    word or none)."""
+    cand = _candidate_matches(hyp, ref)
+    by_i: List[List[Tuple[int, int]]] = [[] for _ in hyp]
+    for (i, j), mod in cand.items():
+        by_i[i].append((j, mod))
+
+    # state: (used_ref bitmask, last_pair (i,j) or None, pairs tuple,
+    #         count, chunks, dist)
+    states = [(0, None, (), 0, 0, 0)]
+    for i in range(len(hyp)):
+        nxt = []
+        for used, last, pairs, cnt, ch, dist in states:
+            nxt.append((used, last, pairs, cnt, ch, dist))  # skip word i
+            for j, mod in by_i[i]:
+                if used >> j & 1:
+                    continue
+                contiguous = (last is not None and last[0] == i - 1
+                              and last[1] == j - 1)
+                nxt.append((used | (1 << j), (i, j),
+                            pairs + ((i, j, mod),), cnt + 1,
+                            ch + (0 if contiguous else 1),
+                            dist + abs(i - j)))
+        nxt.sort(key=lambda s: (-s[3], s[4], s[5]))
+        states = nxt[:BEAM]
+    best = states[0]
+    return list(best[2])
+
+
+def _chunks(pairs: List[Tuple[int, int, int]]) -> int:
     if not pairs:
         return 0
-    chunks = 1
-    for (i0, j0), (i1, j1) in zip(pairs, pairs[1:]):
+    ch = 1
+    for (i0, j0, _), (i1, j1, _) in zip(pairs, pairs[1:]):
         if i1 != i0 + 1 or j1 != j0 + 1:
-            chunks += 1
-    return chunks
+            ch += 1
+    return ch
 
 
-def _segment_stats(hyp: str, refs: List[str]):
-    """Best (by score) reference's (m, len_h, len_r, chunks)."""
+def _word_weight(w: str) -> float:
+    return 1.0 - DELTA if w in FUNCTION_WORDS else DELTA
+
+
+class SegmentStats:
+    """Weighted match statistics of one (hyp, best-ref) pair — the fields
+    MeteorStats accumulates.  ``chunks`` follows the jar's convention:
+    a single chunk that covers BOTH strings entirely counts as zero
+    fragmentation (so identical sentences — and corpora of identical
+    sentences under aggregation — score 1.0)."""
+
+    __slots__ = ("p_num", "p_den", "r_num", "r_den", "matches", "chunks")
+
+    def __init__(self, p_num=0.0, p_den=0.0, r_num=0.0, r_den=0.0,
+                 matches=0, chunks=0):
+        self.p_num, self.p_den = p_num, p_den
+        self.r_num, self.r_den = r_num, r_den
+        self.matches, self.chunks = matches, chunks
+
+    def add(self, o: "SegmentStats") -> None:
+        self.p_num += o.p_num
+        self.p_den += o.p_den
+        self.r_num += o.r_num
+        self.r_den += o.r_den
+        self.matches += o.matches
+        self.chunks += o.chunks
+
+    def score(self) -> float:
+        if self.matches == 0 or self.p_den == 0 or self.r_den == 0:
+            return 0.0
+        p = self.p_num / self.p_den
+        r = self.r_num / self.r_den
+        if p == 0 or r == 0:
+            return 0.0
+        fmean = p * r / (ALPHA * p + (1 - ALPHA) * r)
+        frag = 0.0 if self.chunks == 0 else self.chunks / self.matches
+        return fmean * (1.0 - GAMMA * frag ** BETA)
+
+
+def _segment(hyp: str, refs: List[str]) -> SegmentStats:
     h = hyp.split()
-    best = None
+    best: SegmentStats = SegmentStats()
+    best_s = -1.0
     for ref in refs:
         r = ref.split()
         pairs = _align(h, r)
-        m = len(pairs)
+        p_num = sum(MODULE_WEIGHTS[mod] * _word_weight(h[i])
+                    for i, _, mod in pairs)
+        r_num = sum(MODULE_WEIGHTS[mod] * _word_weight(r[j])
+                    for _, j, mod in pairs)
         ch = _chunks(pairs)
-        stats = (m, len(h), len(r), ch)
-        if best is None or _score_from_stats(*stats) > _score_from_stats(*best):
-            best = stats
+        if ch == 1 and len(pairs) == len(h) == len(r):
+            ch = 0       # perfect contiguous full cover: no fragmentation
+        stats = SegmentStats(
+            p_num=p_num, p_den=sum(_word_weight(w) for w in h),
+            r_num=r_num, r_den=sum(_word_weight(w) for w in r),
+            matches=len(pairs), chunks=ch)
+        s = stats.score()
+        if s > best_s:
+            best, best_s = stats, s
     return best
-
-
-def _score_from_stats(m: int, len_h: int, len_r: int, chunks: int) -> float:
-    if m == 0 or len_h == 0 or len_r == 0:
-        return 0.0
-    p = m / len_h
-    r = m / len_r
-    fmean = p * r / (ALPHA * p + (1 - ALPHA) * r)
-    frag = chunks / m
-    return fmean * (1 - GAMMA * frag ** BETA)
 
 
 def corpus_meteor(gts: Dict, res: Dict) -> Tuple[float, List[float]]:
     assert gts.keys() == res.keys()
     scores = []
-    tot_m = tot_h = tot_r = tot_ch = 0
+    agg = SegmentStats()
     for i in gts.keys():
-        m, lh, lr, ch = _segment_stats(res[i][0], gts[i])
-        scores.append(_score_from_stats(m, lh, lr, ch))
-        tot_m += m
-        tot_h += lh
-        tot_r += lr
-        tot_ch += ch
-    return _score_from_stats(tot_m, tot_h, tot_r, tot_ch), scores
+        st = _segment(res[i][0], gts[i])
+        scores.append(st.score())
+        agg.add(st)
+    return agg.score(), scores

@@ -167,3 +167,45 @@ def test_vqa_accuracy_split():
     assert out["overall"] == pytest.approx(3 / 4)
     assert out["open"] == pytest.approx(1 / 2)
     assert out["closed"] == pytest.approx(1.0)
+
+
+def test_meteor_alignment_properties():
+    """Meteor's alignment resolution: maximize covered words, then
+    minimize chunks, then minimize total distance (regression: the old
+    greedy left-to-right scan violated all three)."""
+    from mvlt_tpu.metrics.meteor import _align, _chunks
+
+    # chunk minimization: 'b' must match the SECOND ref 'b' so the
+    # alignment is one contiguous chunk (greedy picked the first)
+    pairs = _align("a b".split(), "b a b".split())
+    assert len(pairs) == 2 and _chunks(pairs) == 1
+
+    # coverage maximization across repeated words
+    pairs = _align("x x y".split(), "x y x".split())
+    assert len(pairs) == 3
+
+    # distance tie-break: identity alignment wins among equal-chunk options
+    pairs = _align("w w".split(), "w w".split())
+    assert [(i, j) for i, j, _ in pairs] == [(0, 0), (1, 1)]
+
+    # stem matches rank below exact (module index 1)
+    pairs = _align("expanding".split(), "expanded".split())
+    assert pairs == [(0, 0, 1)]
+
+
+def test_meteor_scoring_semantics():
+    """Meteor 1.5 scoring semantics: identical segments (and corpora of
+    them) score exactly 1.0; function words weigh less than content
+    words (delta=0.75)."""
+    s, _ = corpus_meteor({0: ["the heart size is normal"]},
+                         {0: ["the heart size is normal"]})
+    assert s == 1.0
+    s, _ = corpus_meteor({0: ["a b c"], 1: ["d e"]},
+                         {0: ["a b c"], 1: ["d e"]})
+    assert s == 1.0
+    # missing a content word hurts more than missing a function word
+    content_miss, _ = corpus_meteor({0: ["the heart is enlarged"]},
+                                    {0: ["the heart is"]})
+    function_miss, _ = corpus_meteor({0: ["the heart is enlarged"]},
+                                     {0: ["heart is enlarged"]})
+    assert function_miss > content_miss
