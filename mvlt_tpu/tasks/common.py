@@ -63,12 +63,18 @@ class TaskRunner:
     def init_state(self, example_batch_args: tuple,
                    pretrained_variables: Optional[Any] = None,
                    rng: Optional[jax.Array] = None):
+        """``pretrained_variables`` may be one variables tree or a list
+        of (possibly partial) trees merged in order — e.g. a pretrain
+        export followed by an official backbone checkpoint
+        (``--backbone_ckpt``, reference ``modules/model.py:222-226``)."""
         rng = rng if rng is not None else jax.random.PRNGKey(
             self.train_config.seed)
         variables = self.model.init(rng, *example_batch_args)
         if pretrained_variables is not None:
-            variables = _merge_pretrained(variables, pretrained_variables,
-                                          self.logger)
+            trees = pretrained_variables if isinstance(
+                pretrained_variables, (list, tuple)) else [pretrained_variables]
+            for tree in trees:
+                variables = _merge_pretrained(variables, tree, self.logger)
         tx = make_optimizer(self.config,
                             grad_accum_steps=self.train_config.grad_accum_steps)
         state = create_train_state(self.model, variables, tx)

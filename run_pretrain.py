@@ -28,6 +28,11 @@ def parse_args():
     p.add_argument("--itm_task", action="store_true", default=True)
     p.add_argument("--no_itm_task", dest="itm_task", action="store_false")
     p.add_argument("--model_parallel", type=int, default=1)
+    p.add_argument("--backbone_ckpt", default=None,
+                   help="official backbone checkpoint (Swin .pth / "
+                        "torchvision ResNet / HF state dict), loaded into "
+                        "the fresh model like the reference does at build "
+                        "(modules/model.py:222-226)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--tiny", action="store_true")
     return p.parse_args()
@@ -86,10 +91,15 @@ def main():
     runner = TaskRunner(PretrainModel(cfg), cfg, tc, workdir=args.model_name,
                         name="pretrain")
     sample = dataset[0]
+    pretrained = None
+    if args.backbone_ckpt:
+        from mvlt_tpu.utils.bootstrap import load_backbone
+        pretrained = [load_backbone(args.backbone_ckpt, cfg)]
     runner.init_state((jnp.asarray(sample["image"][None]),
                        jnp.asarray(sample["caption_masked"][None]),
                        jnp.asarray(sample["caption_label"][None]),
-                       jnp.asarray(sample["itm_label"][None])))
+                       jnp.asarray(sample["itm_label"][None])),
+                      pretrained_variables=pretrained)
     runner.maybe_restore()
     train_pretrain(runner, dataset, epochs=args.epochs,
                    export_dir=args.export_dir)

@@ -20,6 +20,9 @@ def parse_args():
     p.add_argument("--rgc_index", default=None)
     p.add_argument("--model_name", default="./checkpoints/caption")
     p.add_argument("--pretrained", default=None)
+    p.add_argument("--backbone_ckpt", default=None,
+                   help="official backbone checkpoint (Swin .pth / "
+                        "torchvision ResNet / HF state dict)")
     p.add_argument("--conv", default="swin")
     p.add_argument("--learning_strategy", default="unilm",
                    choices=["unilm", "normal"])
@@ -95,9 +98,13 @@ def main():
 
     train_ds, test_ds = build_datasets(args, tokenizer, max_length)
 
-    pretrained = None
+    pretrained = []
     if args.pretrained:
-        _, pretrained = ckpt_lib.load_pretrained(args.pretrained)
+        pretrained.append(ckpt_lib.load_pretrained(args.pretrained)[1])
+    if args.backbone_ckpt:
+        from mvlt_tpu.utils.bootstrap import load_backbone
+        pretrained.append(load_backbone(args.backbone_ckpt, cfg))
+    pretrained = pretrained or None
 
     tc = TrainConfig(batch_size=args.batch_size, epochs=args.epochs,
                      mesh=MeshConfig(model_parallel=args.model_parallel))

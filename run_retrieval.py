@@ -21,6 +21,9 @@ def parse_args():
                         "--swap image)")
     p.add_argument("--model_name", default="./checkpoints/retrieval")
     p.add_argument("--pretrained", default=None)
+    p.add_argument("--backbone_ckpt", default=None,
+                   help="official backbone checkpoint (Swin .pth / "
+                        "torchvision ResNet / HF state dict)")
     p.add_argument("--conv", default="swin")
     p.add_argument("--swap", default="either", choices=["either", "image"],
                    help="negative sampling: iu-xray variant uses 'image'")
@@ -85,9 +88,13 @@ def main():
                                 "train", swap=args.swap)
     test_ds = RetrievalDataset(src_test, tokenizer, args.max_length, "test")
 
-    pretrained = None
+    pretrained = []
     if args.pretrained:
-        _, pretrained = ckpt_lib.load_pretrained(args.pretrained)
+        pretrained.append(ckpt_lib.load_pretrained(args.pretrained)[1])
+    if args.backbone_ckpt:
+        from mvlt_tpu.utils.bootstrap import load_backbone
+        pretrained.append(load_backbone(args.backbone_ckpt, cfg))
+    pretrained = pretrained or None
 
     tc = TrainConfig(batch_size=args.batch_size, epochs=args.epochs,
                      mesh=MeshConfig(model_parallel=args.model_parallel))

@@ -19,6 +19,9 @@ def parse_args():
     p.add_argument("--model_name", default="./checkpoints/vqa")
     p.add_argument("--pretrained", default=None,
                    help="pretrain export dir (save_pretrained format)")
+    p.add_argument("--backbone_ckpt", default=None,
+                   help="official backbone checkpoint (Swin .pth / "
+                        "torchvision ResNet / HF state dict)")
     p.add_argument("--conv", default="swin")
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--lr", type=float, default=4e-5)
@@ -90,9 +93,13 @@ def main():
     result_num = len(train.ans2label)
     cfg = build_config(args, tokenizer, result_num)
 
-    pretrained = None
+    pretrained = []
     if args.pretrained:
-        _, pretrained = ckpt_lib.load_pretrained(args.pretrained)
+        pretrained.append(ckpt_lib.load_pretrained(args.pretrained)[1])
+    if args.backbone_ckpt:
+        from mvlt_tpu.utils.bootstrap import load_backbone
+        pretrained.append(load_backbone(args.backbone_ckpt, cfg))
+    pretrained = pretrained or None
 
     results = []
     for round_i in range(args.total_round):
