@@ -40,3 +40,20 @@ if not (_REPO / "mvlt_tpu" / "_native" / "libmvlt_native.so").exists():
 
 def reference_available() -> bool:
     return os.path.isdir(REFERENCE_ROOT)
+
+
+# Fast high-signal modules (~2 min total on CPU): `pytest -m quick`.
+# The full suite (~30 min) stays the default / nightly tier.
+_QUICK_MODULES = {
+    "test_config", "test_tokenizer", "test_native", "test_preprocess",
+    "test_data", "test_sources", "test_metrics", "test_beam_scorer",
+    "test_adapter", "test_heads", "test_fusion", "test_checkpoint",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        if item.module.__name__ in _QUICK_MODULES:
+            item.add_marker(pytest.mark.quick)
