@@ -173,6 +173,59 @@ def measure_pretrain_step(batch: int = 32, iters: int = 10) -> float:
     return batch * iters / dt
 
 
+def flagship_fwd_flops_per_sample() -> float:
+    """Analytic forward FLOPs/sample (2xMAC) for the flagship VQA model:
+    Swin-S @224 (8.7 GMac, reference flops() calculators
+    visual_feature_extractor.py:695-702) + BERT-base fusion over
+    1+49+1+23=74 tokens + heads."""
+    swin = 8.7e9 * 2
+    # fusion: 12 layers x (4 h^2 qkv/out + 2*4 h^2 mlp) * seq + attn seq^2
+    h, seq, layers = 768, 74, 12
+    per_layer = seq * (4 * h * h + 8 * h * h) * 2 + 2 * seq * seq * h * 2
+    return swin + layers * per_layer
+
+
+def peak_flops(platform_device) -> float:
+    """Peak bf16 FLOPs/s of the chip (env-overridable MVLT_PEAK_FLOPS)."""
+    env = os.environ.get("MVLT_PEAK_FLOPS")
+    if env:
+        return float(env)
+    kind = getattr(platform_device, "device_kind", "").lower()
+    table = {"v5 lite": 197e12, "v5e": 197e12, "v4": 275e12,
+             "v5p": 459e12, "v6": 918e12, "v6e": 918e12}
+    for k, v in table.items():
+        if k in kind:
+            return v
+    return 197e12    # default: v5e
+
+
+def kernel_parity_smoke() -> bool:
+    """On-chip Pallas-vs-XLA parity check at small shapes (catches kernel
+    drift between rounds — VERDICT r1 item 9).  bf16 tolerance."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from mvlt_tpu.ops.pallas_attn import (_block_xla_ref,
+                                          window_block_attention)
+
+    rng = np.random.default_rng(0)
+    BW, N, C, nH = 16, 49, 96, 3
+    x = jnp.asarray(rng.normal(size=(BW, N, C)) * 0.5, jnp.bfloat16)
+    wqkv = jnp.asarray(rng.normal(size=(C, 3 * C)) * 0.05, jnp.bfloat16)
+    bqkv = jnp.zeros((3 * C,), jnp.bfloat16)
+    wproj = jnp.asarray(rng.normal(size=(C, C)) * 0.05, jnp.bfloat16)
+    bproj = jnp.zeros((C,), jnp.bfloat16)
+    bias = jnp.asarray(rng.normal(size=(4, nH, N, N)) * 0.1, jnp.float32)
+    scale = (C // nH) ** -0.5
+    got = jax.jit(lambda *a: window_block_attention(*a, scale, nH))(
+        x, wqkv, bqkv, wproj, bproj, bias)
+    want = jax.jit(lambda *a: _block_xla_ref(*a, scale, nH))(
+        x, wqkv, bqkv, wproj, bproj, bias)
+    err = float(jnp.max(jnp.abs(got.astype(jnp.float32)
+                                - want.astype(jnp.float32))))
+    return err < 0.1
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu-baseline", action="store_true",
@@ -181,6 +234,9 @@ def main() -> None:
                     choices=["vqa", "caption", "pretrain", "retrieval"])
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--iters", type=int, default=None)
+    ap.add_argument("--headline-only", action="store_true",
+                    help="skip the extra pretrain/caption/retrieval/parity "
+                         "measurements in the default run")
     args = ap.parse_args()
 
     if args.mode == "caption":
@@ -224,12 +280,42 @@ def main() -> None:
     val = measure(batch, dtype, iters=iters)
     baseline = float(os.environ.get("MVLT_BENCH_CPU_BASELINE",
                                     CPU_BASELINE_SAMPLES_PER_SEC))
-    print(json.dumps({
+    out = {
         "metric": "vqa_fwd_samples_per_sec_per_chip",
         "value": round(val, 2),
         "unit": "samples/sec",
         "vs_baseline": round(val / baseline, 2),
-    }))
+    }
+
+    # Extra columns in the same JSON line (VERDICT r1 item 10): MFU plus
+    # the non-flagship task paths, so round-over-round regressions in
+    # pretrain/caption/retrieval are visible.  Soft time budget — each is
+    # best-effort and independently skippable; the persistent compilation
+    # cache makes repeat rounds cheap.
+    if on_accel and not args.headline_only:
+        budget = float(os.environ.get("MVLT_BENCH_BUDGET_S", "900"))
+        t_start = time.perf_counter()
+        out["mfu"] = round(
+            flagship_fwd_flops_per_sample() * val
+            / peak_flops(jax.devices()[0]), 4)
+
+        def _try(name, fn):
+            if time.perf_counter() - t_start > budget:
+                return
+            try:
+                v = fn()
+                out[name] = round(v, 2) if isinstance(v, float) else v
+            except Exception as e:        # noqa: BLE001 — bench stays up
+                out[name] = f"error: {type(e).__name__}"
+
+        _try("kernel_parity_ok", lambda: bool(kernel_parity_smoke()))
+        _try("pretrain_train_samples_per_sec",
+             lambda: measure_pretrain_step(32, 10))
+        _try("caption_beam3_tokens_per_sec",
+             lambda: measure_caption_decode(8))
+        _try("retrieval_itm_pairs_per_sec",
+             lambda: measure_retrieval_scoring(128, 20))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
