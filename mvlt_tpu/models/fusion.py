@@ -85,22 +85,27 @@ class SelfAttention(nn.Module):
         out_dense = nn.Dense(H, kernel_init=normal_init(cfg.initializer_range),
                              dtype=self.dtype, name="out")
 
-        # Fused Pallas path for bidirectional (key-only bias) attention:
-        # qkv -> per-sample attention -> proj -> +residual -> LN in one
-        # kernel (the post-LN attention half of the BERT block).  Active on
-        # TPU for the deterministic non-cached case; the seq2seq (UniLM)
-        # mask is per-query and stays on the XLA path.  Opt out with
-        # MVLT_NO_FUSED_ENCODER=1.
-        drop_active = cfg.attention_probs_dropout_prob > 0.0 and not deterministic
-        key_only_bias = bias is not None and bias.ndim == 4 and bias.shape[1] == 1 \
-            and bias.shape[2] == 1
+        # Fused Pallas path: qkv -> per-sample attention -> proj ->
+        # +residual -> LN in one kernel (the post-LN attention half of
+        # the BERT block).  Covers the non-cached full-sequence cases:
+        # - bidirectional (key-only bias) and seq2seq/UniLM (per-query
+        #   bias, threaded as the kernel's additive qbias);
+        # - training dropout via multiplicative masks generated in XLA
+        #   and applied in-kernel at the HF placements (post-softmax
+        #   probs, post-projection hidden) — mask HBM reads are small
+        #   next to the fused savings and the XLA fallback materializes
+        #   the same tensors.  Opt out with MVLT_NO_FUSED_ENCODER=1.
+        fusable_bias = bias is not None and bias.ndim == 4 \
+            and bias.shape[1] == 1
         import os
-        if (cache_kv is None and key_only_bias and not drop_active
-                and deterministic and not need_kv
+        force = bool(os.environ.get("MVLT_FORCE_FUSED_ENCODER"))
+        if (cache_kv is None and fusable_bias and not need_kv
                 and not self.is_initializing()
                 and not os.environ.get("MVLT_NO_FUSED_ENCODER")
-                and jax.default_backend() == "tpu"):
-            from mvlt_tpu.ops.pallas_attn import fused_attn_ln
+                and (jax.default_backend() == "tpu" or force)):
+            from mvlt_tpu.ops.pallas_attn import (fused_attn_ln,
+                                                  fused_attn_ln_masked)
+            interp = force and jax.default_backend() != "tpu"
             cdt = self.dtype or hidden.dtype
             gv = lambda n: self.get_variable("params", n)
             wqkv = jnp.concatenate(
@@ -109,12 +114,33 @@ class SelfAttention(nn.Module):
             bqkv = jnp.concatenate(
                 [gv(n)["bias"] for n in ("query", "key", "value")]).astype(cdt)
             ln = self.get_variable("params", "out_layernorm")
-            out = fused_attn_ln(
-                hidden.astype(cdt), wqkv, bqkv,
-                gv("out")["kernel"].astype(cdt), gv("out")["bias"].astype(cdt),
-                bias[:, 0, 0, :], ln["scale"].astype(jnp.float32),
-                ln["bias"].astype(jnp.float32), Dh ** -0.5, nH,
-                cfg.layer_norm_eps)
+            if bias.shape[2] == 1:                   # key-only (B,1,1,S)
+                kbias, qbias = bias[:, 0, 0, :], None
+            else:                                    # seq2seq (B,1,S,S)
+                kbias = jnp.zeros((B, S), jnp.float32)
+                qbias = bias[:, 0]
+            amask = hmask = None
+            if not deterministic and cfg.attention_probs_dropout_prob > 0:
+                keep = 1.0 - cfg.attention_probs_dropout_prob
+                amask = (jax.random.bernoulli(
+                    self.make_rng("dropout"), keep, (B, nH, S, S))
+                    .astype(cdt) / keep)
+            if not deterministic and cfg.hidden_dropout_prob > 0:
+                keep = 1.0 - cfg.hidden_dropout_prob
+                hmask = (jax.random.bernoulli(
+                    self.make_rng("dropout"), keep, (B, S, H))
+                    .astype(cdt) / keep)
+            args = (hidden.astype(cdt), wqkv, bqkv,
+                    gv("out")["kernel"].astype(cdt),
+                    gv("out")["bias"].astype(cdt), kbias)
+            tail = (ln["scale"].astype(jnp.float32),
+                    ln["bias"].astype(jnp.float32), Dh ** -0.5, nH,
+                    cfg.layer_norm_eps, 8, interp)
+            if qbias is None and amask is None and hmask is None:
+                out = fused_attn_ln(*args, *tail)
+            else:
+                out = fused_attn_ln_masked(*args, qbias, amask, hmask,
+                                           *tail)
             return out, None, None
 
         q = heads(q_dense(hidden))
@@ -166,25 +192,37 @@ class EncoderLayer(nn.Module):
                              dtype=self.dtype, name="output")
 
         # Fused post-LN MLP half (fc1 -> GELU -> fc2 -> +res -> LN) on TPU
-        # for the deterministic full-sequence case; decode steps (T<=2
-        # rows) are too small to benefit and stay on XLA.
+        # for the non-cached full-sequence case; training hidden dropout
+        # rides in as a multiplicative mask.  Decode steps (T<=2 rows)
+        # are too small to benefit and stay on XLA.
         import os
-        if (deterministic and cache_kv is None
+        force = bool(os.environ.get("MVLT_FORCE_FUSED_ENCODER"))
+        if (cache_kv is None
                 and not self.is_initializing()
                 and not os.environ.get("MVLT_NO_FUSED_ENCODER")
-                and jax.default_backend() == "tpu"):
-            from mvlt_tpu.ops.pallas_attn import fused_mlp_ln
+                and (jax.default_backend() == "tpu" or force)):
+            from mvlt_tpu.ops.pallas_attn import (fused_mlp_ln,
+                                                  fused_mlp_ln_masked)
+            interp = force and jax.default_backend() != "tpu"
             cdt = self.dtype or attn_out.dtype
             gv = lambda n: self.get_variable("params", n)
             ln = gv("output_layernorm")
-            out = fused_mlp_ln(
-                attn_out.astype(cdt),
-                gv("intermediate")["kernel"].astype(cdt),
-                gv("intermediate")["bias"].astype(cdt),
-                gv("output")["kernel"].astype(cdt),
-                gv("output")["bias"].astype(cdt),
-                ln["scale"].astype(jnp.float32),
-                ln["bias"].astype(jnp.float32), cfg.layer_norm_eps)
+            args = (attn_out.astype(cdt),
+                    gv("intermediate")["kernel"].astype(cdt),
+                    gv("intermediate")["bias"].astype(cdt),
+                    gv("output")["kernel"].astype(cdt),
+                    gv("output")["bias"].astype(cdt))
+            tail = (ln["scale"].astype(jnp.float32),
+                    ln["bias"].astype(jnp.float32), cfg.layer_norm_eps,
+                    256, interp)
+            if not deterministic and cfg.hidden_dropout_prob > 0:
+                keep = 1.0 - cfg.hidden_dropout_prob
+                hmask = (jax.random.bernoulli(
+                    self.make_rng("dropout"), keep, attn_out.shape)
+                    .astype(cdt) / keep)
+                out = fused_mlp_ln_masked(*args, hmask, *tail)
+            else:
+                out = fused_mlp_ln(*args, *tail)
             return out, kv, new_cache
 
         inter = gelu_exact(inter_dense(attn_out))

@@ -1199,9 +1199,22 @@ window_block_attention.defvjp(_block_fwd, _block_bwd)
 # ---------------------------------------------------------------------------
 
 def _attn_ln_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
-                    kbias_ref, lns_ref, lnb_ref, o_ref, ctx_ref, *,
-                    scale: float, num_heads: int, seq_n: int, eps: float,
-                    fast: bool = False):
+                    kbias_ref, *rest, scale: float, num_heads: int,
+                    seq_n: int, eps: float, fast: bool = False,
+                    has_qbias: bool = False, has_amask: bool = False,
+                    has_hmask: bool = False):
+    """Post-LN attention half.  Optional refs (in order, when the flags
+    are set): ``qbias`` (G, N, N) per-sample additive attention bias
+    (seq2seq/UniLM masks), ``amask`` (G, nH, N, N) multiplicative
+    attention-probability dropout mask (0 or 1/keep), ``hmask`` (G*N, C)
+    multiplicative hidden-dropout mask applied to the projected output
+    before the residual — HF Bert dropout placement."""
+    rest = list(rest)
+    qbias_ref = rest.pop(0) if has_qbias else None
+    amask_ref = rest.pop(0) if has_amask else None
+    hmask_ref = rest.pop(0) if has_hmask else None
+    lns_ref, lnb_ref, o_ref, ctx_ref = rest
+
     GN, C = x_ref.shape
     N = seq_n
     G = GN // N
@@ -1218,52 +1231,89 @@ def _attn_ln_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     for g in range(G):
         rows = QKV[g * N:(g + 1) * N]
         kbias = kbias_ref[base + g][None, :]                 # (1, N) additive
+        qb = qbias_ref[g].astype(jnp.float32) if has_qbias else None
         for hh in range(num_heads):
             q = rows[:, hh * Dh:(hh + 1) * Dh].astype(jnp.float32) * scale
             k = rows[:, C + hh * Dh:C + (hh + 1) * Dh].astype(jnp.float32)
             v = rows[:, 2 * C + hh * Dh:2 * C + (hh + 1) * Dh]
-            ctx = _attend(q, k, v, kbias, fast)
+            if has_qbias or has_amask:
+                s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                s = s + kbias
+                if has_qbias:
+                    s = s + qb
+                p = _softmax_rows(s, fast)
+                if has_amask:
+                    p = p * amask_ref[g, hh].astype(jnp.float32)
+                ctx = jax.lax.dot_general(
+                    p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            else:
+                ctx = _attend(q, k, v, kbias, fast)
             ctx_ref[g * N:(g + 1) * N, hh * Dh:(hh + 1) * Dh] = \
                 ctx.astype(ctx_ref.dtype)
 
     attn = dot(ctx_ref[:], wproj_ref[:])
-    res = (attn + bproj_ref[:].astype(jnp.float32)
-           + x_ref[:].astype(jnp.float32))
+    attn = attn + bproj_ref[:].astype(jnp.float32)
+    if has_hmask:
+        attn = attn * hmask_ref[:].astype(jnp.float32)
+    res = attn + x_ref[:].astype(jnp.float32)
     o_ref[:] = _ln(res, lns_ref[:], lnb_ref[:], eps=eps,
                    fast=fast).astype(o_ref.dtype)
 
 
 def _attn_ln_xla_ref(x, wqkv, bqkv, wproj, bproj, kbias, lns, lnb, scale,
-                     num_heads, eps):
-    attn = _seq_attn_xla_ref(x, wqkv, bqkv, wproj, bproj, kbias, scale,
-                             num_heads).astype(jnp.float32)
+                     num_heads, eps, qbias=None, amask=None, hmask=None):
+    B, N, C = x.shape
+    Dh = C // num_heads
+    qkv = (x.reshape(-1, C) @ wqkv + bqkv).reshape(B, N, 3, num_heads, Dh)
+    q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+    s = jnp.einsum("bhnd,bhmd->bhnm", q.astype(jnp.float32) * scale,
+                   k.astype(jnp.float32))
+    s = s + kbias[:, None, None, :]
+    if qbias is not None:
+        s = s + qbias[:, None].astype(jnp.float32)
+    p = jax.nn.softmax(s, axis=-1)
+    if amask is not None:
+        p = p * amask.astype(jnp.float32)
+    ctx = jnp.einsum("bhnm,bhmd->bhnd", p.astype(v.dtype), v)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(-1, C)
+    attn = (ctx @ wproj).astype(jnp.float32) + bproj
+    attn = attn.reshape(B, N, C)
+    if hmask is not None:
+        attn = attn * hmask.astype(jnp.float32)
     res = attn + x.astype(jnp.float32)
     return _ln(res, lns, lnb, eps=eps).astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
-def fused_attn_ln(x, wqkv, bqkv, wproj, bproj, kbias, lns, lnb,
-                  scale: float, num_heads: int, eps: float = 1e-12,
-                  group: int = 8, interpret: bool = False):
-    """Post-LN BERT attention half: ``LN(attn(x) + x)``.
-
-    x: (B, N, C); kbias: (B, N) additive key bias (0 / -10000 from
-    masks.mask_to_bias).  Pads N to a multiple of 8 internally (padded
-    keys masked, padded rows sliced off — LN over the padded garbage rows
-    is harmless)."""
+def _attn_ln_impl(x, wqkv, bqkv, wproj, bproj, kbias, qbias, amask, hmask,
+                  lns, lnb, scale, num_heads, eps, group, interpret):
+    """Shared forward: qbias/amask/hmask may be None (specs and kernel
+    flags are built accordingly)."""
     B, N, C = x.shape
     N_pad = -(-N // 8) * 8
     if N_pad != N:
         x = jnp.pad(x, ((0, 0), (0, N_pad - N), (0, 0)))
         kbias = jnp.pad(kbias, ((0, 0), (0, N_pad - N)),
                         constant_values=-1e9)
+        if qbias is not None:
+            qbias = jnp.pad(qbias, ((0, 0), (0, N_pad - N),
+                                    (0, N_pad - N)))
+        if amask is not None:
+            amask = jnp.pad(amask, ((0, 0), (0, 0), (0, N_pad - N),
+                                    (0, N_pad - N)))
+        if hmask is not None:
+            hmask = jnp.pad(hmask, ((0, 0), (0, N_pad - N), (0, 0)))
 
     G = group
     # working set ~20 B per (row, chan): x/out bf16 double-buffered, QKV
-    # f32 transient, ctx scratch — the old 36 B estimate forced G=2 and
-    # 2x the program count needed
+    # f32 transient, ctx scratch; the attention dropout mask block adds
+    # nH * N bf16 per row when present
+    per_row = 20 * C + (2 * num_heads * N_pad if amask is not None else 0) \
+        + (4 * N_pad if qbias is not None else 0) \
+        + (2 * C if hmask is not None else 0)
     while G > 1 and (B % G != 0
-                     or G * N_pad * C * 20 > 8 * 1024 * 1024):
+                     or G * N_pad * per_row > 8 * 1024 * 1024):
         G //= 2
 
     x2 = x.reshape(B * N_pad, C)
@@ -1277,20 +1327,54 @@ def fused_attn_ln(x, wqkv, bqkv, wproj, bproj, kbias, lns, lnb,
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
+    in_specs = [x_spec, const_spec(wqkv.shape), const_spec(bqkv.shape),
+                const_spec(wproj.shape), const_spec(bproj.shape), kb_spec]
+    operands = [x2, wqkv, bqkv, wproj, bproj, kbias]
+    if qbias is not None:
+        in_specs.append(pl.BlockSpec((G, N_pad, N_pad),
+                                     lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(qbias)
+    if amask is not None:
+        in_specs.append(pl.BlockSpec((G, num_heads, N_pad, N_pad),
+                                     lambda i: (i, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(amask)
+    if hmask is not None:
+        in_specs.append(x_spec)
+        operands.append(hmask.reshape(B * N_pad, C))
+    in_specs += [const_spec(lns.shape), const_spec(lnb.shape)]
+    operands += [lns, lnb]
+
     out = pl.pallas_call(
         functools.partial(
             _attn_ln_kernel, scale=scale, num_heads=num_heads, seq_n=N_pad,
-            eps=eps, fast=(x.dtype == jnp.bfloat16 and not interpret)),
+            eps=eps, fast=(x.dtype == jnp.bfloat16 and not interpret),
+            has_qbias=qbias is not None, has_amask=amask is not None,
+            has_hmask=hmask is not None),
         grid=grid,
-        in_specs=[x_spec, const_spec(wqkv.shape), const_spec(bqkv.shape),
-                  const_spec(wproj.shape), const_spec(bproj.shape), kb_spec,
-                  const_spec(lns.shape), const_spec(lnb.shape)],
+        in_specs=in_specs,
         out_specs=x_spec,
         out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
         scratch_shapes=[pltpu.VMEM((G * N_pad, C), x.dtype)],
         interpret=interpret,
-    )(x2, wqkv, bqkv, wproj, bproj, kbias, lns, lnb)
+    )(*operands)
     return out.reshape(B, N_pad, C)[:, :N]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def fused_attn_ln(x, wqkv, bqkv, wproj, bproj, kbias, lns, lnb,
+                  scale: float, num_heads: int, eps: float = 1e-12,
+                  group: int = 8, interpret: bool = False):
+    """Post-LN BERT attention half: ``LN(attn(x) + x)``.
+
+    x: (B, N, C); kbias: (B, N) additive key bias (0 / -10000 from
+    masks.mask_to_bias).  Pads N to a multiple of 8 internally (padded
+    keys masked, padded rows sliced off — LN over the padded garbage rows
+    is harmless)."""
+    return _attn_ln_impl(x, wqkv, bqkv, wproj, bproj, kbias, None, None,
+                         None, lns, lnb, scale, num_heads, eps, group,
+                         interpret)
 
 
 def _attn_ln_fwd(x, wqkv, bqkv, wproj, bproj, kbias, lns, lnb, scale,
@@ -1314,8 +1398,67 @@ def _attn_ln_bwd(scale, num_heads, eps, group, interpret, res, g):
 fused_attn_ln.defvjp(_attn_ln_fwd, _attn_ln_bwd)
 
 
-def _mlp_ln_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, lns_ref, lnb_ref,
-                   o_ref, *, eps: float, fast: bool = False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14, 15))
+def fused_attn_ln_masked(x, wqkv, bqkv, wproj, bproj, kbias, qbias, amask,
+                         hmask, lns, lnb, scale: float, num_heads: int,
+                         eps: float = 1e-12, group: int = 8,
+                         interpret: bool = False):
+    """Training / seq2seq variant of :func:`fused_attn_ln`:
+
+    - ``qbias`` (B, N, N) per-sample additive attention bias (the UniLM
+      seq2seq mask; head-independent) — enables the fused path for the
+      reference's seq2seq branch, not just key-padding masks;
+    - ``amask`` (B, nH, N, N) multiplicative attention-probability
+      dropout mask (0 or 1/keep), applied after softmax (HF placement);
+    - ``hmask`` (B, N, C) multiplicative hidden-dropout mask, applied to
+      the projected output before the residual.
+
+    Masks are inputs rather than in-kernel PRNG so the path is testable
+    off-chip; their HBM reads are small next to the fused savings, and
+    the XLA fallback materializes the same tensors anyway.  Use
+    ``jnp.zeros``/``ones``-free ``None``-equivalents by calling
+    :func:`fused_attn_ln` instead when nothing is masked."""
+    return _attn_ln_impl(x, wqkv, bqkv, wproj, bproj, kbias, qbias, amask,
+                         hmask, lns, lnb, scale, num_heads, eps, group,
+                         interpret)
+
+
+def _attn_ln_masked_fwd(x, wqkv, bqkv, wproj, bproj, kbias, qbias, amask,
+                        hmask, lns, lnb, scale, num_heads, eps, group,
+                        interpret):
+    out = fused_attn_ln_masked(x, wqkv, bqkv, wproj, bproj, kbias, qbias,
+                               amask, hmask, lns, lnb, scale, num_heads,
+                               eps, group, interpret)
+    return out, (x, wqkv, bqkv, wproj, bproj, kbias, qbias, amask, hmask,
+                 lns, lnb)
+
+
+def _attn_ln_masked_bwd(scale, num_heads, eps, group, interpret, res, g):
+    (x, wqkv, bqkv, wproj, bproj, kbias, qbias, amask, hmask, lns,
+     lnb) = res
+
+    def ref(x, wqkv, bqkv, wproj, bproj, kbias, lns, lnb):
+        return _attn_ln_xla_ref(x, wqkv, bqkv, wproj, bproj, kbias, lns,
+                                lnb, scale, num_heads, eps, qbias=qbias,
+                                amask=amask, hmask=hmask)
+
+    _, vjp = jax.vjp(ref, x, wqkv, bqkv, wproj, bproj, kbias, lns, lnb)
+    dx, dwqkv, dbqkv, dwproj, dbproj, dkbias, dlns, dlnb = vjp(g)
+    zero = lambda a: None if a is None else jnp.zeros_like(a)
+    return (dx, dwqkv, dbqkv, dwproj, dbproj, dkbias, zero(qbias),
+            zero(amask), zero(hmask), dlns, dlnb)
+
+
+fused_attn_ln_masked.defvjp(_attn_ln_masked_fwd, _attn_ln_masked_bwd)
+
+
+def _mlp_ln_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, *rest,
+                   eps: float, fast: bool = False,
+                   has_hmask: bool = False):
+    rest = list(rest)
+    hmask_ref = rest.pop(0) if has_hmask else None
+    lns_ref, lnb_ref, o_ref = rest
+
     def dot(a, b):
         return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
@@ -1324,29 +1467,27 @@ def _mlp_ln_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, lns_ref, lnb_ref,
     m = m + b1_ref[:].astype(jnp.float32)
     m = _gelu_exact(m, fast)
     out = dot(m.astype(x_ref.dtype), w2_ref[:])
-    res = (out + b2_ref[:].astype(jnp.float32)
-           + x_ref[:].astype(jnp.float32))
+    out = out + b2_ref[:].astype(jnp.float32)
+    if has_hmask:
+        out = out * hmask_ref[:].astype(jnp.float32)
+    res = out + x_ref[:].astype(jnp.float32)
     o_ref[:] = _ln(res, lns_ref[:], lnb_ref[:], eps=eps,
                    fast=fast).astype(o_ref.dtype)
 
 
-def _mlp_ln_xla_ref(x, w1, b1, w2, b2, lns, lnb, eps):
+def _mlp_ln_xla_ref(x, w1, b1, w2, b2, lns, lnb, eps, hmask=None):
     shape = x.shape
     C = shape[-1]
     x2 = x.reshape(-1, C)
     m = jax.nn.gelu((x2 @ w1).astype(jnp.float32) + b1, approximate=False)
     out = (m.astype(x.dtype) @ w2).astype(jnp.float32) + b2
+    if hmask is not None:
+        out = out * hmask.reshape(-1, C).astype(jnp.float32)
     res = out + x2.astype(jnp.float32)
     return _ln(res, lns, lnb, eps=eps).astype(x.dtype).reshape(shape)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
-def fused_mlp_ln(x, w1, b1, w2, b2, lns, lnb, eps: float = 1e-12,
-                 rows: int = 256, interpret: bool = False):
-    """Post-LN BERT MLP half: ``LN(fc2(gelu(fc1(x))) + x)``.
-
-    Rows are independent (no attention), so the grid just chunks the
-    flattened (B*S, C) row dim.  x: (..., C)."""
+def _mlp_ln_impl(x, w1, b1, w2, b2, hmask, lns, lnb, eps, rows, interpret):
     shape = x.shape
     C = shape[-1]
     x2 = x.reshape(-1, C)
@@ -1366,18 +1507,40 @@ def fused_mlp_ln(x, w1, b1, w2, b2, lns, lnb, eps: float = 1e-12,
         return pl.BlockSpec(shape_, lambda i: (0,) * len(shape_),
                             memory_space=pltpu.VMEM)
 
+    in_specs = [x_spec, const_spec(w1.shape), const_spec(b1.shape),
+                const_spec(w2.shape), const_spec(b2.shape)]
+    operands = [x2, w1, b1, w2, b2]
+    if hmask is not None:
+        h2 = hmask.reshape(-1, C)
+        if h2.shape[0] != M:
+            h2 = jnp.pad(h2, ((0, M - h2.shape[0]), (0, 0)))
+        in_specs.append(x_spec)
+        operands.append(h2)
+    in_specs += [const_spec(lns.shape), const_spec(lnb.shape)]
+    operands += [lns, lnb]
+
     out = pl.pallas_call(
         functools.partial(_mlp_ln_kernel, eps=eps,
-                          fast=(x.dtype == jnp.bfloat16 and not interpret)),
+                          fast=(x.dtype == jnp.bfloat16 and not interpret),
+                          has_hmask=hmask is not None),
         grid=grid,
-        in_specs=[x_spec, const_spec(w1.shape), const_spec(b1.shape),
-                  const_spec(w2.shape), const_spec(b2.shape),
-                  const_spec(lns.shape), const_spec(lnb.shape)],
+        in_specs=in_specs,
         out_specs=x_spec,
         out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
         interpret=interpret,
-    )(x2, w1, b1, w2, b2, lns, lnb)
+    )(*operands)
     return out[:x.size // C].reshape(shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def fused_mlp_ln(x, w1, b1, w2, b2, lns, lnb, eps: float = 1e-12,
+                 rows: int = 256, interpret: bool = False):
+    """Post-LN BERT MLP half: ``LN(fc2(gelu(fc1(x))) + x)``.
+
+    Rows are independent (no attention), so the grid just chunks the
+    flattened (B*S, C) row dim.  x: (..., C)."""
+    return _mlp_ln_impl(x, w1, b1, w2, b2, None, lns, lnb, eps, rows,
+                        interpret)
 
 
 def _mlp_ln_fwd(x, w1, b1, w2, b2, lns, lnb, eps, rows, interpret):
@@ -1396,6 +1559,39 @@ def _mlp_ln_bwd(eps, rows, interpret, res, g):
 
 
 fused_mlp_ln.defvjp(_mlp_ln_fwd, _mlp_ln_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def fused_mlp_ln_masked(x, w1, b1, w2, b2, hmask, lns, lnb,
+                        eps: float = 1e-12, rows: int = 256,
+                        interpret: bool = False):
+    """Training variant of :func:`fused_mlp_ln`: ``hmask`` (B, N, C)
+    multiplicative hidden-dropout mask applied to the fc2 output before
+    the residual (HF Bert placement)."""
+    return _mlp_ln_impl(x, w1, b1, w2, b2, hmask, lns, lnb, eps, rows,
+                        interpret)
+
+
+def _mlp_ln_masked_fwd(x, w1, b1, w2, b2, hmask, lns, lnb, eps, rows,
+                       interpret):
+    out = fused_mlp_ln_masked(x, w1, b1, w2, b2, hmask, lns, lnb, eps,
+                              rows, interpret)
+    return out, (x, w1, b1, w2, b2, hmask, lns, lnb)
+
+
+def _mlp_ln_masked_bwd(eps, rows, interpret, res, g):
+    x, w1, b1, w2, b2, hmask, lns, lnb = res
+
+    def ref(x, w1, b1, w2, b2, lns, lnb):
+        return _mlp_ln_xla_ref(x, w1, b1, w2, b2, lns, lnb, eps,
+                               hmask=hmask)
+
+    _, vjp = jax.vjp(ref, x, w1, b1, w2, b2, lns, lnb)
+    dx, dw1, db1, dw2, db2, dlns, dlnb = vjp(g)
+    return (dx, dw1, db1, dw2, db2, jnp.zeros_like(hmask), dlns, dlnb)
+
+
+fused_mlp_ln_masked.defvjp(_mlp_ln_masked_fwd, _mlp_ln_masked_bwd)
 
 
 # ---------------------------------------------------------------------------

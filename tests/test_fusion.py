@@ -188,3 +188,74 @@ def test_decode_step_matches_full_forward():
     np.testing.assert_allclose(np.asarray(hidden[:, -1]),
                                np.asarray(oracle_last_hidden),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_fused_encoder_path_matches_xla_path(monkeypatch):
+    """The Pallas fused-encoder path (forced via interpret on CPU) ==
+    the XLA path through the full FusionEncoder, for both bidirectional
+    and seq2seq masks, forward and gradient (the seq2seq/qbias support
+    is what lets caption/pretrain seq2seq batches use the kernels)."""
+    import dataclasses
+
+    model = _make_model()
+    B, n_obj, seq = 2, 5, 7
+    rng = np.random.RandomState(5)
+    img = jnp.asarray(rng.randn(B, n_obj, TINY.hidden_size), jnp.float32)
+    txt = jnp.asarray(rng.randint(5, 50, (B, seq)), jnp.int32)
+    tmask = txt > 0
+    imask = jnp.ones((B, n_obj), bool)
+    variables = model.init(jax.random.PRNGKey(0), txt, tmask, img, imask)
+
+    for seq2seq in (False, True):
+        def run(v):
+            out = model.apply(v, txt, tmask, img, imask,
+                              seq2seq_mask=seq2seq)
+            return out.last_hidden
+
+        monkeypatch.setenv("MVLT_NO_FUSED_ENCODER", "1")
+        monkeypatch.delenv("MVLT_FORCE_FUSED_ENCODER", raising=False)
+        want = run(variables)
+        gw = jax.grad(lambda v: run(v).sum())(variables)
+
+        monkeypatch.delenv("MVLT_NO_FUSED_ENCODER", raising=False)
+        monkeypatch.setenv("MVLT_FORCE_FUSED_ENCODER", "1")
+        got = run(variables)
+        gg = jax.grad(lambda v: run(v).sum())(variables)
+
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=2e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(gg),
+                        jax.tree_util.tree_leaves(gw)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4, rtol=2e-4)
+
+
+def test_fused_encoder_training_dropout_runs(monkeypatch):
+    """Training path with dropout active goes through the masked fused
+    kernels (forced interpret): finite loss and gradients."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, hidden_dropout_prob=0.1,
+                              attention_probs_dropout_prob=0.1)
+    model = FusionEncoder(cfg, add_pooling_layer=False, cls_token_id=CLS,
+                          sep_token_id=SEP)
+    B, n_obj, seq = 2, 5, 7
+    rng = np.random.RandomState(6)
+    img = jnp.asarray(rng.randn(B, n_obj, cfg.hidden_size), jnp.float32)
+    txt = jnp.asarray(rng.randint(5, 50, (B, seq)), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), txt, txt > 0, img,
+                           jnp.ones((B, n_obj), bool))
+
+    monkeypatch.setenv("MVLT_FORCE_FUSED_ENCODER", "1")
+
+    def loss(v):
+        out = model.apply(v, txt, txt > 0, img,
+                          jnp.ones((B, n_obj), bool), seq2seq_mask=True,
+                          deterministic=False,
+                          rngs={"dropout": jax.random.PRNGKey(7)})
+        return (out.last_hidden.astype(jnp.float32) ** 2).mean()
+
+    val, grads = jax.value_and_grad(loss)(variables)
+    assert np.isfinite(float(val))
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all()

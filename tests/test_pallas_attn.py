@@ -575,3 +575,73 @@ def test_shift_folded_block_grad_matches_ref():
                     jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_fused_attn_ln_masked_variants():
+    """Masked fused attention half (qbias / amask / hmask in every
+    combination) == the mask-applied XLA reference, fwd and grad."""
+    from mvlt_tpu.ops.pallas_attn import (_attn_ln_xla_ref,
+                                          fused_attn_ln_masked)
+    rng = np.random.default_rng(21)
+    B, N, C, nH = 4, 13, 32, 4
+    x = jnp.asarray(rng.normal(size=(B, N, C)) * 0.5, jnp.float32)
+    wqkv = jnp.asarray(rng.normal(size=(C, 3 * C)) * 0.1, jnp.float32)
+    bqkv = jnp.asarray(rng.normal(size=(3 * C,)) * 0.1, jnp.float32)
+    wproj = jnp.asarray(rng.normal(size=(C, C)) * 0.1, jnp.float32)
+    bproj = jnp.asarray(rng.normal(size=(C,)) * 0.1, jnp.float32)
+    kbias = jnp.where(jnp.asarray(rng.random((B, N)) > 0.2), 0.0,
+                      -10000.0).astype(jnp.float32)
+    causal = np.triu(np.full((N, N), -10000.0), 1).astype(np.float32)
+    qbias = jnp.asarray(causal)[None].repeat(B, 0)
+    amask = (jnp.asarray(rng.random((B, nH, N, N)) > 0.1, jnp.float32)
+             / 0.9)
+    hmask = (jnp.asarray(rng.random((B, N, C)) > 0.1, jnp.float32) / 0.9)
+    lns, lnb = jnp.ones(C), jnp.zeros(C)
+    scale = (C // nH) ** -0.5
+
+    for qb, am, hm in [(qbias, amask, hmask), (None, amask, None),
+                       (qbias, None, None), (None, None, hmask)]:
+        got = fused_attn_ln_masked(x, wqkv, bqkv, wproj, bproj, kbias, qb,
+                                   am, hm, lns, lnb, scale, nH, 1e-12, 8,
+                                   True)
+        want = _attn_ln_xla_ref(x, wqkv, bqkv, wproj, bproj, kbias, lns,
+                                lnb, scale, nH, 1e-12, qb, am, hm)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)
+        g1 = jax.grad(lambda x_, w_: fused_attn_ln_masked(
+            x_, w_, bqkv, wproj, bproj, kbias, qb, am, hm, lns, lnb,
+            scale, nH, 1e-12, 8, True).sum(), argnums=(0, 1))(x, wqkv)
+        g2 = jax.grad(lambda x_, w_: _attn_ln_xla_ref(
+            x_, w_, bqkv, wproj, bproj, kbias, lns, lnb, scale, nH,
+            1e-12, qb, am, hm).sum(), argnums=(0, 1))(x, wqkv)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4, rtol=1e-4)
+
+
+def test_fused_mlp_ln_masked():
+    from mvlt_tpu.ops.pallas_attn import (_mlp_ln_xla_ref,
+                                          fused_mlp_ln_masked)
+    rng = np.random.default_rng(22)
+    B, N, C = 4, 13, 32
+    x = jnp.asarray(rng.normal(size=(B, N, C)) * 0.5, jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(C, 4 * C)) * 0.1, jnp.float32)
+    b1 = jnp.zeros(4 * C)
+    w2 = jnp.asarray(rng.normal(size=(4 * C, C)) * 0.1, jnp.float32)
+    b2 = jnp.zeros(C)
+    hmask = (jnp.asarray(rng.random((B, N, C)) > 0.1, jnp.float32) / 0.9)
+    lns, lnb = jnp.ones(C), jnp.zeros(C)
+    got = fused_mlp_ln_masked(x, w1, b1, w2, b2, hmask, lns, lnb, 1e-12,
+                              16, True)
+    want = _mlp_ln_xla_ref(x, w1, b1, w2, b2, lns, lnb, 1e-12, hmask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+    g1 = jax.grad(lambda x_, w_: fused_mlp_ln_masked(
+        x_, w_, b1, w2, b2, hmask, lns, lnb, 1e-12, 16, True).sum(),
+        argnums=(0, 1))(x, w1)
+    g2 = jax.grad(lambda x_, w_: _mlp_ln_xla_ref(
+        x_, w_, b1, w2, b2, lns, lnb, 1e-12, hmask).sum(),
+        argnums=(0, 1))(x, w1)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=1e-4)

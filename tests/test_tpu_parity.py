@@ -119,3 +119,56 @@ def test_training_step_decreases_loss_on_chip(tpu):
         losses.append(float(jax.device_get(loss)))
     assert np.isfinite(losses).all(), losses
     assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
+
+
+def test_masked_fused_encoder_parity_on_chip(tpu):
+    """Compiled masked fused encoder kernels (training dropout masks +
+    seq2seq qbias) vs the XLA reference with the SAME masks, on chip at
+    bf16 tolerance."""
+    import jax
+    import jax.numpy as jnp
+    from mvlt_tpu.ops.pallas_attn import (_attn_ln_xla_ref,
+                                          _mlp_ln_xla_ref,
+                                          fused_attn_ln_masked,
+                                          fused_mlp_ln_masked)
+
+    rng = np.random.default_rng(3)
+    B, N, C, nH = 8, 75, 768, 12
+    x = jnp.asarray(rng.normal(size=(B, N, C)) * 0.5, jnp.bfloat16)
+    wqkv = jnp.asarray(rng.normal(size=(C, 3 * C)) * 0.03, jnp.bfloat16)
+    bqkv = jnp.zeros((3 * C,), jnp.bfloat16)
+    wproj = jnp.asarray(rng.normal(size=(C, C)) * 0.03, jnp.bfloat16)
+    bproj = jnp.zeros((C,), jnp.bfloat16)
+    kbias = jnp.where(jnp.asarray(rng.random((B, N)) > 0.2), 0.0,
+                      -10000.0).astype(jnp.float32)
+    causal = np.triu(np.full((N, N), -10000.0), 1).astype(np.float32)
+    qbias = jnp.asarray(causal)[None].repeat(B, 0)
+    amask = (jnp.asarray(rng.random((B, nH, N, N)) > 0.1, jnp.bfloat16)
+             / jnp.bfloat16(0.9))
+    hmask = (jnp.asarray(rng.random((B, N, C)) > 0.1, jnp.bfloat16)
+             / jnp.bfloat16(0.9))
+    lns, lnb = jnp.ones(C), jnp.zeros(C)
+    scale = (C // nH) ** -0.5
+
+    got = jax.device_get(jax.jit(
+        lambda *a: fused_attn_ln_masked(*a, scale, nH))(
+        x, wqkv, bqkv, wproj, bproj, kbias, qbias, amask, hmask, lns, lnb))
+    want = jax.device_get(jax.jit(
+        lambda *a: _attn_ln_xla_ref(*a, scale, nH, 1e-12, qbias, amask,
+                                    hmask))(
+        x, wqkv, bqkv, wproj, bproj, kbias, lns, lnb))
+    d = np.abs(np.float32(got) - np.float32(want))
+    assert d.max() < 0.1, d.max()
+
+    w1 = jnp.asarray(rng.normal(size=(C, 4 * C)) * 0.03, jnp.bfloat16)
+    b1 = jnp.zeros(4 * C, jnp.bfloat16)
+    w2 = jnp.asarray(rng.normal(size=(4 * C, C)) * 0.03, jnp.bfloat16)
+    b2 = jnp.zeros(C, jnp.bfloat16)
+    got = jax.device_get(jax.jit(
+        lambda *a: fused_mlp_ln_masked(*a))(
+        x, w1, b1, w2, b2, hmask, lns, lnb))
+    want = jax.device_get(jax.jit(
+        lambda *a: _mlp_ln_xla_ref(*a, 1e-12, hmask))(
+        x, w1, b1, w2, b2, lns, lnb))
+    d = np.abs(np.float32(got) - np.float32(want))
+    assert d.max() < 0.1, d.max()
