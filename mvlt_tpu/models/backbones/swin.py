@@ -57,6 +57,27 @@ def relative_position_index(wh: int, ww: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
+def _rel_index_onehot(wh: int, ww: int) -> np.ndarray:
+    """(N*N, (2wh-1)(2ww-1)) one-hot of :func:`relative_position_index`.
+
+    The bias lookup runs as ``onehot @ table`` instead of ``table[idx]``:
+    the transposed matmul in the backward replaces XLA's serialized
+    scatter-add into the table (2401 updates/block on TPU) with one MXU
+    dot."""
+    idx = relative_position_index(wh, ww).reshape(-1)
+    oh = np.zeros((idx.size, (2 * wh - 1) * (2 * ww - 1)), np.float32)
+    oh[np.arange(idx.size), idx] = 1.0
+    return oh
+
+
+def rel_bias_from_table(table: jnp.ndarray, wh: int, ww: int) -> jnp.ndarray:
+    """Per-head relative-position bias (N*N, nH) from the learned table
+    ((2wh-1)(2ww-1), nH) via one-hot matmul (scatter-free backward)."""
+    oh = jnp.asarray(_rel_index_onehot(wh, ww), table.dtype)
+    return oh @ table
+
+
+@functools.lru_cache(maxsize=None)
 def shifted_window_mask(H: int, W: int, window: int, shift: int) -> np.ndarray:
     """Additive SW-MSA mask, (nW, N, N) float32 with 0 / -100 entries
     (reference visual_feature_extractor.py:318-348)."""
@@ -130,9 +151,8 @@ class WindowAttention(nn.Module):
             "relative_position_bias_table",
             trunc_normal_init(0.02),
             ((2 * self.window_size[0] - 1) * (2 * self.window_size[1] - 1), nH))
-        idx = relative_position_index(*self.window_size)      # static (N, N)
-        rel_bias = table[idx.reshape(-1)].reshape(N, N, nH)
-        rel_bias = rel_bias.transpose(2, 0, 1)                # (nH, N, N)
+        rel_bias = rel_bias_from_table(table, *self.window_size) \
+            .reshape(N, N, nH).transpose(2, 0, 1)             # (nH, N, N)
 
         # combined bias per in-image window pattern: (nWb, nH, N, N)
         combined = rel_bias[None].astype(jnp.float32)
@@ -319,9 +339,9 @@ class SwinBlock(nn.Module):
         gv = lambda name: self.get_variable("params", name)
         attn_p = gv("attn")
         table = attn_p["relative_position_bias_table"]
-        idx = relative_position_index(window, window)
         N = window * window
-        rel = table[idx.reshape(-1)].reshape(N, N, nH).transpose(2, 0, 1)
+        rel = rel_bias_from_table(table, window, window) \
+            .reshape(N, N, nH).transpose(2, 0, 1)
         combined = rel[None].astype(jnp.float32)
         shift_mask = None
         if shift > 0:
@@ -383,9 +403,9 @@ class SwinBlock(nn.Module):
         gv = lambda name: self.get_variable("params", name)
         attn_p = gv("attn")
         table = attn_p["relative_position_bias_table"]
-        idx = relative_position_index(window, window)
         N = window * window
-        rel = table[idx.reshape(-1)].reshape(N, N, nH).transpose(2, 0, 1)
+        rel = rel_bias_from_table(table, window, window) \
+            .reshape(N, N, nH).transpose(2, 0, 1)
         combined = rel[None].astype(jnp.float32)
         if shift > 0:
             combined = combined + jnp.asarray(

@@ -537,7 +537,7 @@ def _attend(q, k, v, bias, fast: bool):
 
 def _full_body(X, dt, refs, bias_ref, ctx_ref, *, scale, num_heads,
                window_n, fast, mask_ref=None, mlp_chunks: int = 1,
-               dp1_ref=None, dp2_ref=None):
+               dp1_ref=None, dp2_ref=None, qkv_ref=None):
     """Shared whole-block math on a 2-D (R, C) f32 value ``X``; the big
     matmuls (qkv / proj / MLP) run with M = R rows — near-full MXU row
     utilization — and the attention core slices per-group rows out of the
@@ -564,6 +564,10 @@ def _full_body(X, dt, refs, bias_ref, ctx_ref, *, scale, num_heads,
     H1 = _ln(X, ln1s_ref[:], ln1b_ref[:], fast=fast)
     QKV = dot(H1.astype(dt), wqkv_ref[:])
     QKV = (QKV + bqkv_ref[:].astype(jnp.float32)).astype(dt)
+    if qkv_ref is not None:
+        # store-residual training mode: the backward consumes the exact
+        # in-kernel QKV (and ctx) instead of recomputing the forward
+        qkv_ref[:] = QKV
 
     for g in range(G):
         rows = QKV[g * N:(g + 1) * N]                       # (N, 3C)
@@ -695,6 +699,36 @@ def _full_kernel_dp(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
     out = _full_body(X, x_ref.dtype, refs, bias_ref, ctx_ref, scale=scale,
                      num_heads=num_heads, window_n=window_n, fast=fast,
                      dp1_ref=dp1_ref, dp2_ref=dp2_ref)
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+def _full_kernel_save(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
+                      wproj_ref, bproj_ref, ln2s_ref, ln2b_ref, w1_ref,
+                      b1_ref, w2_ref, b2_ref, bias_ref, o_ref, qkv_ref,
+                      ctx_ref, *, scale: float, num_heads: int,
+                      window_n: int, fast: bool = False):
+    """`_full_kernel` that additionally emits QKV and ctx residuals (both
+    dt) for the store-residual backward — ctx_ref is an OUTPUT here."""
+    refs = (ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+            ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref)
+    X = x_ref[:].astype(jnp.float32)
+    out = _full_body(X, x_ref.dtype, refs, bias_ref, ctx_ref, scale=scale,
+                     num_heads=num_heads, window_n=window_n, fast=fast,
+                     qkv_ref=qkv_ref)
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+def _full_kernel_dp_save(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
+                         wproj_ref, bproj_ref, ln2s_ref, ln2b_ref, w1_ref,
+                         b1_ref, w2_ref, b2_ref, bias_ref, dp1_ref, dp2_ref,
+                         o_ref, qkv_ref, ctx_ref, *, scale: float,
+                         num_heads: int, window_n: int, fast: bool = False):
+    refs = (ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+            ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref)
+    X = x_ref[:].astype(jnp.float32)
+    out = _full_body(X, x_ref.dtype, refs, bias_ref, ctx_ref, scale=scale,
+                     num_heads=num_heads, window_n=window_n, fast=fast,
+                     dp1_ref=dp1_ref, dp2_ref=dp2_ref, qkv_ref=qkv_ref)
     o_ref[:] = out.astype(o_ref.dtype)
 
 
@@ -942,7 +976,7 @@ def _full_forward_windows(x, params, bias, *, scale, num_heads, group,
 
 
 def _full_forward(x, params, bias, *, scale, num_heads, group, interpret,
-                  dp=None):
+                  dp=None, save_res=False):
     """params: tuple (ln1s, ln1b, wqkv, bqkv, wproj, bproj, ln2s, ln2b,
     w1, b1, w2, b2).  x: (BW, N, C) windows.
 
@@ -952,12 +986,28 @@ def _full_forward(x, params, bias, *, scale, num_heads, group, interpret,
     2-D (G*N, C) layout (big MXU dots) when a group size G exists with
     G*N % 8 == 0 (Mosaic block constraint), G | BW and G | nWb; otherwise
     it pads N to a multiple of 8 or falls back to the per-window 3-D
-    kernel."""
+    kernel.
+
+    ``save_res=True`` returns ``(out, qkv, ctx)`` — the in-kernel QKV
+    (BW, N, 3C) and attention context (BW, N, C) residuals for the
+    store-residual backward — or ``(out, None, None)`` on fallback paths
+    that don't support saving.  Window-pair merging is a pure reshape, so
+    the residuals are returned in the CALLER's (BW, N, ·) layout."""
     orig_shape = x.shape
     x, bias, merged = _merge_window_pairs(x, bias)
     out = _full_forward_inner(x, params, bias, scale=scale,
                               num_heads=num_heads, group=group,
-                              interpret=interpret, dp=dp)
+                              interpret=interpret, dp=dp,
+                              save_res=save_res)
+    if save_res:
+        out, qkv, ctx = out
+        BW, N, C = orig_shape
+        if merged:
+            out = out.reshape(orig_shape)
+        if qkv is not None:
+            qkv = qkv.reshape(BW, N, 3 * C)
+            ctx = ctx.reshape(orig_shape)
+        return out, qkv, ctx
     return out.reshape(orig_shape) if merged else out
 
 
@@ -965,13 +1015,15 @@ _VMEM_CAP = 8 * 1024 * 1024
 
 
 def _full_forward_inner(x, params, bias, *, scale, num_heads, group,
-                        interpret, dp=None):
+                        interpret, dp=None, save_res=False):
     BW, N, C = x.shape
     nWb = bias.shape[0]
     G = group
     # VMEM budget: the dominant in-kernel value is the (G*N, 4C) f32 MLP
-    # intermediate; cap it (plus qkv + x blocks) around ~8MB
-    while G > 1 and G * N * C * (4 + 3 + 4) * 4 > _VMEM_CAP:
+    # intermediate; cap it (plus qkv + x blocks, and the qkv/ctx output
+    # blocks of the store-residual mode) around ~8MB
+    row_bytes = (4 + 3 + 4) * 4 + (8 if save_res else 0)
+    while G > 1 and G * N * C * row_bytes > _VMEM_CAP:
         G //= 2
     while G > 1 and (BW % G != 0 or (nWb > 1 and nWb % G != 0)
                      or (G * N) % 8 != 0):
@@ -981,8 +1033,9 @@ def _full_forward_inner(x, params, bias, *, scale, num_heads, group,
             # awkward geometry + stochastic depth: XLA composition with
             # the Pallas attention core (correct, still kernel-fast on
             # the core; the fused fallbacks below don't thread dp)
-            return _full_ref_fastcore(x, params, bias, dp, scale,
-                                      num_heads, interpret)
+            out = _full_ref_fastcore(x, params, bias, dp, scale,
+                                     num_heads, interpret)
+            return (out, None, None) if save_res else out
         # No 8-aligned G exists (e.g. shifted stage-3: nWb=4, N=49 odd).
         # Pad windows to the next multiple of 8 rows so the 2-D big-dot
         # path still applies: padded KEYS are masked with a large negative
@@ -998,10 +1051,12 @@ def _full_forward_inner(x, params, bias, *, scale, num_heads, group,
             out = _full_forward(x_p, params, bias_p, scale=scale,
                                 num_heads=num_heads, group=group,
                                 interpret=interpret)
-            return out[:, :N]
-        return _full_forward_windows(x, params, bias, scale=scale,
-                                     num_heads=num_heads, group=group,
-                                     interpret=interpret)
+            out = out[:, :N]
+            return (out, None, None) if save_res else out
+        out = _full_forward_windows(x, params, bias, scale=scale,
+                                    num_heads=num_heads, group=group,
+                                    interpret=interpret)
+        return (out, None, None) if save_res else out
 
     x2 = x.reshape(BW * N, C)      # XLA-side reshape (contiguous, free-ish)
 
@@ -1026,13 +1081,45 @@ def _full_forward_inner(x, params, bias, *, scale, num_heads, group,
         return pl.BlockSpec(shape, zero, memory_space=pltpu.VMEM)
 
     x_spec = pl.BlockSpec((G * N, C), x_map, memory_space=pltpu.VMEM)
+    fast = x.dtype == jnp.bfloat16 and not interpret
+    if save_res:
+        qkv_spec = pl.BlockSpec((G * N, 3 * C), x_map,
+                                memory_space=pltpu.VMEM)
+        out_specs = (x_spec, qkv_spec, x_spec)
+        out_shape = (jax.ShapeDtypeStruct(x2.shape, x.dtype),
+                     jax.ShapeDtypeStruct((BW * N, 3 * C), x.dtype),
+                     jax.ShapeDtypeStruct(x2.shape, x.dtype))
+        if dp is not None:
+            dp_spec = pl.BlockSpec((G * N, 1), x_map,
+                                   memory_space=pltpu.VMEM)
+            out, qkv, ctx = pl.pallas_call(
+                functools.partial(
+                    _full_kernel_dp_save, scale=scale,
+                    num_heads=num_heads, window_n=N, fast=fast),
+                grid=grid,
+                in_specs=[x_spec] + [const_spec(p.shape) for p in params]
+                + [bias_spec, dp_spec, dp_spec],
+                out_specs=out_specs, out_shape=out_shape,
+                interpret=interpret,
+            )(x2, *params, bias, dp[0], dp[1])
+        else:
+            out, qkv, ctx = pl.pallas_call(
+                functools.partial(
+                    _full_kernel_save, scale=scale, num_heads=num_heads,
+                    window_n=N, fast=fast),
+                grid=grid,
+                in_specs=[x_spec] + [const_spec(p.shape) for p in params]
+                + [bias_spec],
+                out_specs=out_specs, out_shape=out_shape,
+                interpret=interpret,
+            )(x2, *params, bias)
+        return out.reshape(BW, N, C), qkv, ctx
     if dp is not None:
         dp_spec = pl.BlockSpec((G * N, 1), x_map, memory_space=pltpu.VMEM)
         out = pl.pallas_call(
             functools.partial(
                 _full_kernel_dp, scale=scale, num_heads=num_heads,
-                window_n=N,
-                fast=(x.dtype == jnp.bfloat16 and not interpret)),
+                window_n=N, fast=fast),
             grid=grid,
             in_specs=[x_spec] + [const_spec(p.shape) for p in params]
             + [bias_spec, dp_spec, dp_spec],
@@ -1044,8 +1131,7 @@ def _full_forward_inner(x, params, bias, *, scale, num_heads, group,
         return out.reshape(BW, N, C)
     out = pl.pallas_call(
         functools.partial(_full_kernel, scale=scale, num_heads=num_heads,
-                          window_n=N,
-                          fast=(x.dtype == jnp.bfloat16 and not interpret)),
+                          window_n=N, fast=fast),
         grid=grid,
         in_specs=[x_spec] + [const_spec(p.shape) for p in params]
         + [bias_spec],
@@ -1129,13 +1215,109 @@ def swin_full_block(x, params, bias, scale: float, num_heads: int,
 
 def _full_fwd(x, params, bias, scale, num_heads, group, interpret,
               shift_spec=None, dp=None):
-    out = swin_full_block(x, params, bias, scale, num_heads, group,
-                          interpret, shift_spec, dp)
-    return out, (x, tuple(params), bias, dp)
+    if shift_spec is None:
+        # store-residual mode: the kernel additionally emits QKV/ctx so
+        # the backward skips the whole-forward recompute (qkv is None on
+        # fallback paths that don't support saving)
+        out, qkv, ctx = _full_forward(x, tuple(params), bias, scale=scale,
+                                      num_heads=num_heads, group=group,
+                                      interpret=interpret, dp=dp,
+                                      save_res=True)
+    else:
+        out = _full_forward_shift(x, tuple(params), bias, scale=scale,
+                                  num_heads=num_heads, interpret=interpret,
+                                  shift_spec=shift_spec, dp=dp)
+        qkv = ctx = None
+    return out, (x, tuple(params), bias, dp, qkv, ctx)
+
+
+def _full_bwd_stored(scale, num_heads, interpret, res, g):
+    """Store-residual backward of the whole Swin block.
+
+    Consumes the forward kernel's QKV and ctx instead of recomputing the
+    block: the only recompute left is LN1/LN2 (elementwise) and fc1+GELU
+    (one matmul, needed for the GELU derivative); the attention core
+    backward runs as a Pallas kernel on the saved QKV.  All weight grads
+    are single large MXU matmuls."""
+    x, params, bias, dp, qkv, ctx = res
+    (ln1s, ln1b, wqkv, bqkv, wproj, bproj,
+     ln2s, ln2b, w1, b1, w2, b2) = params
+    BW, N, C = x.shape
+    dt = x.dtype
+    interp = interpret or jax.default_backend() != "tpu"
+
+    xf = x.reshape(-1, C).astype(jnp.float32)
+    g2 = g.reshape(-1, C).astype(jnp.float32)
+    ctx2 = ctx.reshape(-1, C)
+    dp1 = dp[0] if dp is not None else None        # (BW*N, 1) f32
+    dp2 = dp[1] if dp is not None else None
+
+    # recompute res1 exactly from the saved ctx (one C^2 matmul)
+    attn_nodp = (ctx2 @ wproj).astype(jnp.float32) + bproj
+    res1 = xf + (attn_nodp * dp1 if dp1 is not None else attn_nodp)
+
+    # --- MLP half: vjp recomputes LN2 + fc1 + GELU; the fc2 product is
+    # dead-code-eliminated unless the dp2 grad needs it ---
+    def mlp_piece(res1, ln2s, ln2b, w1, b1, w2, b2, dp2v):
+        h2 = _ln(res1, ln2s, ln2b).astype(dt)
+        m = jax.nn.gelu((h2 @ w1).astype(jnp.float32) + b1,
+                        approximate=False)
+        mlp = (m.astype(dt) @ w2).astype(jnp.float32) + b2
+        if dp2v is not None:
+            mlp = mlp * dp2v
+        return res1 + mlp
+
+    if dp2 is None:
+        _, vjp_mlp = jax.vjp(
+            lambda r, s, bb, a1, c1, a2, c2: mlp_piece(r, s, bb, a1, c1,
+                                                       a2, c2, None),
+            res1, ln2s, ln2b, w1, b1, w2, b2)
+        dres1, dln2s, dln2b, dw1, db1, dw2, db2 = vjp_mlp(g2)
+        ddp2 = None
+    else:
+        _, vjp_mlp = jax.vjp(mlp_piece, res1, ln2s, ln2b, w1, b1, w2, b2,
+                             dp2)
+        dres1, dln2s, dln2b, dw1, db1, dw2, db2, ddp2 = vjp_mlp(g2)
+
+    # --- attention tail (no recompute at all) ---
+    da = dres1 * dp1 if dp1 is not None else dres1
+    ddp1 = (dres1 * attn_nodp).sum(-1, keepdims=True) \
+        if dp1 is not None else None
+    dwproj = ctx2.astype(jnp.float32).T @ da
+    dbproj = da.sum(0)
+    dctx = (da @ wproj.astype(jnp.float32).T).astype(dt)
+
+    # --- attention core backward on the saved QKV (Pallas) ---
+    bias_arr = bias
+    dQKV, dbias = attention_core_bwd(qkv, dctx.reshape(BW, N, C), bias_arr,
+                                     scale, num_heads, interpret=interp)
+    dQKV2 = dQKV.reshape(-1, 3 * C)
+
+    # --- qkv head: vjp recomputes LN1 (elementwise); the qkv product is
+    # dead code ---
+    def qkv_piece(x2f, ln1s, ln1b, wqkv, bqkv):
+        h1 = _ln(x2f, ln1s, ln1b).astype(dt)
+        return (h1 @ wqkv) + bqkv
+
+    _, vjp_qkv = jax.vjp(qkv_piece, xf, ln1s, ln1b, wqkv, bqkv)
+    dx_h, dln1s, dln1b, dwqkv, dbqkv = vjp_qkv(dQKV2)
+
+    dx = (dres1 + dx_h).reshape(BW, N, C).astype(dt)
+    dparams = (dln1s.astype(ln1s.dtype), dln1b.astype(ln1b.dtype),
+               dwqkv.astype(wqkv.dtype), dbqkv.astype(bqkv.dtype),
+               dwproj.astype(wproj.dtype), dbproj.astype(bproj.dtype),
+               dln2s.astype(ln2s.dtype), dln2b.astype(ln2b.dtype),
+               dw1.astype(w1.dtype), db1.astype(b1.dtype),
+               dw2.astype(w2.dtype), db2.astype(b2.dtype))
+    ddp = None if dp is None else (ddp1.astype(dp[0].dtype),
+                                   ddp2.astype(dp[1].dtype))
+    return dx, dparams, dbias.astype(jnp.float32), ddp
 
 
 def _full_bwd(scale, num_heads, group, interpret, shift_spec, res, g):
-    x, params, bias, dp = res
+    x, params, bias, dp, qkv, ctx = res
+    if qkv is not None:
+        return _full_bwd_stored(scale, num_heads, interpret, res, g)
 
     def ref(x, params, bias, dp):
         return _full_ref_fastcore(x, params, bias, dp, scale, num_heads,
