@@ -99,15 +99,11 @@ class SelfAttention(nn.Module):
             and bias.shape[1] == 1
         import os
         force = bool(os.environ.get("MVLT_FORCE_FUSED_ENCODER"))
-        # Training (non-deterministic) stays on XLA unless forced:
-        # measured on v5e b32/seq131, the masked-kernel training path is
-        # slower than XLA both fwd (18.7 vs 16.6 ms) and bwd (66.1 vs
-        # 49.9 ms) — the custom VJP recomputes the reference, while
-        # XLA's own backward reuses stored residuals.  The masked
-        # kernels remain for deterministic seq2seq and for future
-        # stored-residual backward kernels.
+        # Training uses the masked kernels too: their custom VJPs are
+        # store-residual backwards (the forward kernel emits QKV/ctx, so
+        # the backward skips the whole-forward recompute that made the
+        # fused training path a wash in earlier measurements).
         if (cache_kv is None and fusable_bias and not need_kv
-                and (deterministic or force)
                 and not self.is_initializing()
                 and not os.environ.get("MVLT_NO_FUSED_ENCODER")
                 and (jax.default_backend() == "tpu" or force)):
@@ -205,9 +201,8 @@ class EncoderLayer(nn.Module):
         # are too small to benefit and stay on XLA.
         import os
         force = bool(os.environ.get("MVLT_FORCE_FUSED_ENCODER"))
-        # training stays on XLA unless forced — see SelfAttention note
+        # training rides the masked kernel too (store-residual backward)
         if (cache_kv is None
-                and (deterministic or force)
                 and not self.is_initializing()
                 and not os.environ.get("MVLT_NO_FUSED_ENCODER")
                 and (jax.default_backend() == "tpu" or force)):

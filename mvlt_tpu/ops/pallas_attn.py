@@ -763,6 +763,65 @@ def _full_shift_kernel_dp(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
             o_ref[b0 + src_:b0 + src_ + ln] = outc[b0 + dst:b0 + dst + ln]
 
 
+def _full_shift_kernel_save(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
+                            wproj_ref, bproj_ref, ln2s_ref, ln2b_ref,
+                            w1_ref, b1_ref, w2_ref, b2_ref, bias_ref,
+                            mask_ref, o_ref, qkv_ref, ctx_ref, s_ref, *,
+                            scale: float, num_heads: int, window_n: int,
+                            runs, img_rows: int, n_img: int,
+                            mlp_chunks: int = 1, fast: bool = False):
+    """`_full_shift_kernel` that additionally emits QKV and ctx residuals.
+    They stay in the SHIFTED window-major layout (only the block output is
+    written back through the inverse permutation) — the store-residual
+    backward permutes its cotangents instead."""
+    refs = (ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+            ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref)
+    for im in range(n_img):
+        b0 = im * img_rows
+        for dst, src_, ln in runs:
+            s_ref[b0 + dst:b0 + dst + ln] = x_ref[b0 + src_:b0 + src_ + ln]
+    X = s_ref[:].astype(jnp.float32)
+    out = _full_body(X, x_ref.dtype, refs, bias_ref, ctx_ref, scale=scale,
+                     num_heads=num_heads, window_n=window_n, fast=fast,
+                     mask_ref=mask_ref, mlp_chunks=mlp_chunks,
+                     qkv_ref=qkv_ref)
+    outc = out.astype(o_ref.dtype)
+    for im in range(n_img):
+        b0 = im * img_rows
+        for dst, src_, ln in runs:
+            o_ref[b0 + src_:b0 + src_ + ln] = outc[b0 + dst:b0 + dst + ln]
+
+
+def _full_shift_kernel_dp_save(x_ref, ln1s_ref, ln1b_ref, wqkv_ref,
+                               bqkv_ref, wproj_ref, bproj_ref, ln2s_ref,
+                               ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                               bias_ref, mask_ref, dp1_ref, dp2_ref, o_ref,
+                               qkv_ref, ctx_ref, s_ref, d1_ref, d2_ref, *,
+                               scale: float, num_heads: int, window_n: int,
+                               runs, img_rows: int, n_img: int,
+                               mlp_chunks: int = 1, fast: bool = False):
+    refs = (ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+            ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref)
+    for im in range(n_img):
+        b0 = im * img_rows
+        for dst, src_, ln in runs:
+            s_ref[b0 + dst:b0 + dst + ln] = x_ref[b0 + src_:b0 + src_ + ln]
+            d1_ref[b0 + dst:b0 + dst + ln] = \
+                dp1_ref[b0 + src_:b0 + src_ + ln]
+            d2_ref[b0 + dst:b0 + dst + ln] = \
+                dp2_ref[b0 + src_:b0 + src_ + ln]
+    X = s_ref[:].astype(jnp.float32)
+    out = _full_body(X, x_ref.dtype, refs, bias_ref, ctx_ref, scale=scale,
+                     num_heads=num_heads, window_n=window_n, fast=fast,
+                     mask_ref=mask_ref, mlp_chunks=mlp_chunks,
+                     dp1_ref=d1_ref, dp2_ref=d2_ref, qkv_ref=qkv_ref)
+    outc = out.astype(o_ref.dtype)
+    for im in range(n_img):
+        b0 = im * img_rows
+        for dst, src_, ln in runs:
+            o_ref[b0 + src_:b0 + src_ + ln] = outc[b0 + dst:b0 + dst + ln]
+
+
 def shift_kernel_feasible(H: int, W: int, window: int, C: int,
                           batch: int, with_dp: bool = False) -> bool:
     """Whether the shift-folded whole-block kernel applies: programs must
@@ -779,8 +838,10 @@ def shift_kernel_feasible(H: int, W: int, window: int, C: int,
     if batch % k != 0:
         return False
     # X f32 + QKV bf16 + ctx/s scratch + io blocks ~ 16 B per (row, chan);
-    # chunked MLP intermediate adds a flat ~3MB
-    if k * LW * C * 16 + 3 * 1024 * 1024 > 13 * 1024 * 1024:
+    # chunked MLP intermediate adds a flat ~3MB.  Training (with_dp) runs
+    # the store-residual variant whose qkv output block adds 6 B.
+    if k * LW * C * (22 if with_dp else 16) + 3 * 1024 * 1024 \
+            > 13 * 1024 * 1024:
         return False
     # Mosaic's scoped-VMEM accounting grows with very large grids in ways
     # this predicate cannot model (observed: b256 stage-1 compile OOM at
@@ -798,13 +859,16 @@ def shift_kernel_feasible(H: int, W: int, window: int, C: int,
 
 
 def _full_forward_shift(x, params, bias, *, scale, num_heads, interpret,
-                        shift_spec, dp=None):
+                        shift_spec, dp=None, save_res=False):
     """x: (BW, N, C) UNSHIFTED window-major.  ``bias`` is a tuple
     ``(rel, mask)``: per-head relative-position bias (1, nH, N, N) f32
     and head-independent shift-mask patterns (nWb, N, N) — shipped
     separately so the (nWb, 2N, 2N) merged mask is nH times smaller in
     VMEM than pre-combined patterns.  Requires
-    :func:`shift_kernel_feasible`."""
+    :func:`shift_kernel_feasible`.
+
+    ``save_res=True``: returns ``(out, qkv, ctx)``; the residuals are in
+    the SHIFTED window-major layout, flat ``(BW*N, 3C)/(BW*N, C)``."""
     H, W, window, shift = shift_spec
     BW, N, C = x.shape
     nW = (H // window) * (W // window)
@@ -845,6 +909,48 @@ def _full_forward_shift(x, params, bias, *, scale, num_heads, interpret,
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
+    fast = x.dtype == jnp.bfloat16 and not interpret
+    if save_res:
+        qkv_spec = pl.BlockSpec((rows, 3 * C), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        out_specs = (x_spec, qkv_spec, x_spec)
+        out_shape = (jax.ShapeDtypeStruct(x2.shape, x.dtype),
+                     jax.ShapeDtypeStruct((BW * N, 3 * C), x.dtype),
+                     jax.ShapeDtypeStruct(x2.shape, x.dtype))
+        if dp is not None:
+            dp_spec = pl.BlockSpec((rows, 1), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)
+            out, qkv, ctx = pl.pallas_call(
+                functools.partial(
+                    _full_shift_kernel_dp_save, scale=scale,
+                    num_heads=num_heads, window_n=N2, runs=runs,
+                    img_rows=LW, n_img=k, mlp_chunks=mlp_chunks,
+                    fast=fast),
+                grid=grid,
+                in_specs=[x_spec] + [const_spec(p.shape) for p in params]
+                + [const_spec(rel_m.shape), const_spec(mask_m.shape),
+                   dp_spec, dp_spec],
+                out_specs=out_specs, out_shape=out_shape,
+                scratch_shapes=[pltpu.VMEM((rows, C), x.dtype),
+                                pltpu.VMEM((rows, 1), jnp.float32),
+                                pltpu.VMEM((rows, 1), jnp.float32)],
+                interpret=interpret,
+            )(x2, *params, rel_m, mask_m, dp[0], dp[1])
+        else:
+            out, qkv, ctx = pl.pallas_call(
+                functools.partial(
+                    _full_shift_kernel_save, scale=scale,
+                    num_heads=num_heads, window_n=N2, runs=runs,
+                    img_rows=LW, n_img=k, mlp_chunks=mlp_chunks,
+                    fast=fast),
+                grid=grid,
+                in_specs=[x_spec] + [const_spec(p.shape) for p in params]
+                + [const_spec(rel_m.shape), const_spec(mask_m.shape)],
+                out_specs=out_specs, out_shape=out_shape,
+                scratch_shapes=[pltpu.VMEM((rows, C), x.dtype)],
+                interpret=interpret,
+            )(x2, *params, rel_m, mask_m)
+        return out.reshape(BW, N, C), qkv, ctx
     if dp is not None:
         dp_spec = pl.BlockSpec((rows, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)
@@ -852,8 +958,7 @@ def _full_forward_shift(x, params, bias, *, scale, num_heads, interpret,
             functools.partial(
                 _full_shift_kernel_dp, scale=scale, num_heads=num_heads,
                 window_n=N2, runs=runs, img_rows=LW, n_img=k,
-                mlp_chunks=mlp_chunks,
-                fast=(x.dtype == jnp.bfloat16 and not interpret)),
+                mlp_chunks=mlp_chunks, fast=fast),
             grid=grid,
             in_specs=[x_spec] + [const_spec(p.shape) for p in params]
             + [const_spec(rel_m.shape), const_spec(mask_m.shape),
@@ -871,8 +976,7 @@ def _full_forward_shift(x, params, bias, *, scale, num_heads, interpret,
         functools.partial(
             _full_shift_kernel, scale=scale, num_heads=num_heads,
             window_n=N2, runs=runs, img_rows=LW, n_img=k,
-            mlp_chunks=mlp_chunks,
-            fast=(x.dtype == jnp.bfloat16 and not interpret)),
+            mlp_chunks=mlp_chunks, fast=fast),
         grid=grid,
         in_specs=[x_spec] + [const_spec(p.shape) for p in params]
         + [const_spec(rel_m.shape), const_spec(mask_m.shape)],
@@ -1224,14 +1328,22 @@ def _full_fwd(x, params, bias, scale, num_heads, group, interpret,
                                       interpret=interpret, dp=dp,
                                       save_res=True)
     else:
-        out = _full_forward_shift(x, tuple(params), bias, scale=scale,
-                                  num_heads=num_heads, interpret=interpret,
-                                  shift_spec=shift_spec, dp=dp)
-        qkv = ctx = None
+        out, qkv, ctx = _full_forward_shift(
+            x, tuple(params), bias, scale=scale, num_heads=num_heads,
+            interpret=interpret, shift_spec=shift_spec, dp=dp,
+            save_res=True)
     return out, (x, tuple(params), bias, dp, qkv, ctx)
 
 
 def _full_bwd_stored(scale, num_heads, interpret, res, g):
+    x, params, bias, dp, qkv, ctx = res
+    interp = interpret or jax.default_backend() != "tpu"
+    return _stored_block_bwd(x, params, bias, dp, qkv, ctx, g, scale,
+                             num_heads, interp)
+
+
+def _stored_block_bwd(x, params, bias, dp, qkv, ctx, g, scale, num_heads,
+                      interp):
     """Store-residual backward of the whole Swin block.
 
     Consumes the forward kernel's QKV and ctx instead of recomputing the
@@ -1239,12 +1351,10 @@ def _full_bwd_stored(scale, num_heads, interpret, res, g):
     (one matmul, needed for the GELU derivative); the attention core
     backward runs as a Pallas kernel on the saved QKV.  All weight grads
     are single large MXU matmuls."""
-    x, params, bias, dp, qkv, ctx = res
     (ln1s, ln1b, wqkv, bqkv, wproj, bproj,
      ln2s, ln2b, w1, b1, w2, b2) = params
     BW, N, C = x.shape
     dt = x.dtype
-    interp = interpret or jax.default_backend() != "tpu"
 
     xf = x.reshape(-1, C).astype(jnp.float32)
     g2 = g.reshape(-1, C).astype(jnp.float32)
@@ -1314,9 +1424,63 @@ def _full_bwd_stored(scale, num_heads, interpret, res, g):
     return dx, dparams, dbias.astype(jnp.float32), ddp
 
 
+def _full_bwd_stored_shift(scale, num_heads, interpret, shift_spec, res,
+                           g):
+    """Store-residual backward for the shift-folded whole-block kernel.
+
+    The saved QKV/ctx are in the SHIFTED window-major layout; x/g/dp are
+    permuted into it (two XLA gathers — the same cost the fastcore
+    recompute already paid), the layout-free stored backward runs there,
+    and dx/ddp come back through the inverse permutation.  The (rel,
+    mask) bias tuple grads are reductions of the combined-bias grad."""
+    x, params, bias, dp, qkv, ctx = res
+    interp = interpret or jax.default_backend() != "tpu"
+    H, W, window, shift = shift_spec
+    BW, N, C = x.shape
+    nW = (H // window) * (W // window)
+    rel, mask = bias
+    combined = rel + mask[:, None]
+
+    perm = jnp.asarray(_shift_perm(H, W, window, shift))
+    inv = jnp.zeros_like(perm).at[perm].set(
+        jnp.arange(perm.shape[0], dtype=perm.dtype))
+
+    def to_shifted(a):
+        ai = a.reshape(-1, nW * N, a.shape[-1])
+        return jnp.take(ai, perm, axis=1).reshape(BW, N, a.shape[-1])
+
+    def to_unshifted(a):
+        ai = a.reshape(-1, nW * N, a.shape[-1])
+        return jnp.take(ai, inv, axis=1).reshape(BW, N, a.shape[-1])
+
+    x_s = to_shifted(x)
+    g_s = to_shifted(g)
+    dp_s = None
+    if dp is not None:
+        dp_s = tuple(to_shifted(d.reshape(BW, N, 1)).reshape(BW * N, 1)
+                     for d in dp)
+
+    dx_s, dparams, dbias, ddp_s = _stored_block_bwd(
+        x_s, params, combined, dp_s, qkv.reshape(BW, N, 3 * C),
+        ctx.reshape(BW, N, C), g_s, scale, num_heads, interp)
+
+    dx = to_unshifted(dx_s).astype(x.dtype)
+    ddp = None
+    if ddp_s is not None:
+        ddp = tuple(to_unshifted(d.reshape(BW, N, 1)).reshape(BW * N, 1)
+                    .astype(dp[0].dtype) for d in ddp_s)
+    drel = dbias.sum(axis=0, keepdims=True) if rel.shape[0] == 1 else dbias
+    dmask = dbias.sum(axis=1)
+    return dx, dparams, (drel.astype(jnp.float32),
+                         dmask.astype(jnp.float32)), ddp
+
+
 def _full_bwd(scale, num_heads, group, interpret, shift_spec, res, g):
     x, params, bias, dp, qkv, ctx = res
     if qkv is not None:
+        if shift_spec is not None:
+            return _full_bwd_stored_shift(scale, num_heads, interpret,
+                                          shift_spec, res, g)
         return _full_bwd_stored(scale, num_heads, interpret, res, g)
 
     def ref(x, params, bias, dp):
@@ -1384,18 +1548,25 @@ def _attn_ln_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
                     kbias_ref, *rest, scale: float, num_heads: int,
                     seq_n: int, eps: float, fast: bool = False,
                     has_qbias: bool = False, has_amask: bool = False,
-                    has_hmask: bool = False):
+                    has_hmask: bool = False, save_res: bool = False):
     """Post-LN attention half.  Optional refs (in order, when the flags
     are set): ``qbias`` (G, N, N) per-sample additive attention bias
     (seq2seq/UniLM masks), ``amask`` (G, nH, N, N) multiplicative
     attention-probability dropout mask (0 or 1/keep), ``hmask`` (G*N, C)
     multiplicative hidden-dropout mask applied to the projected output
-    before the residual — HF Bert dropout placement."""
+    before the residual — HF Bert dropout placement.
+
+    ``save_res``: QKV and ctx become outputs (residuals for the
+    store-residual backward; ctx_ref doubles as the output)."""
     rest = list(rest)
     qbias_ref = rest.pop(0) if has_qbias else None
     amask_ref = rest.pop(0) if has_amask else None
     hmask_ref = rest.pop(0) if has_hmask else None
-    lns_ref, lnb_ref, o_ref, ctx_ref = rest
+    if save_res:
+        lns_ref, lnb_ref, o_ref, qkv_ref, ctx_ref = rest
+    else:
+        qkv_ref = None
+        lns_ref, lnb_ref, o_ref, ctx_ref = rest
 
     GN, C = x_ref.shape
     N = seq_n
@@ -1409,6 +1580,8 @@ def _attn_ln_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
 
     QKV = dot(x_ref[:], wqkv_ref[:])
     QKV = (QKV + bqkv_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
+    if qkv_ref is not None:
+        qkv_ref[:] = QKV
 
     for g in range(G):
         rows = QKV[g * N:(g + 1) * N]
@@ -1469,9 +1642,12 @@ def _attn_ln_xla_ref(x, wqkv, bqkv, wproj, bproj, kbias, lns, lnb, scale,
 
 
 def _attn_ln_impl(x, wqkv, bqkv, wproj, bproj, kbias, qbias, amask, hmask,
-                  lns, lnb, scale, num_heads, eps, group, interpret):
+                  lns, lnb, scale, num_heads, eps, group, interpret,
+                  save_res=False):
     """Shared forward: qbias/amask/hmask may be None (specs and kernel
-    flags are built accordingly)."""
+    flags are built accordingly).  ``save_res=True`` additionally returns
+    the in-kernel QKV (B, N_pad, 3C) and ctx (B, N_pad, C) residuals
+    (padded layout — the backward works on padded arrays)."""
     B, N, C = x.shape
     N_pad = -(-N // 8) * 8
     if N_pad != N:
@@ -1528,19 +1704,34 @@ def _attn_ln_impl(x, wqkv, bqkv, wproj, bproj, kbias, qbias, amask, hmask,
     in_specs += [const_spec(lns.shape), const_spec(lnb.shape)]
     operands += [lns, lnb]
 
+    out_specs = x_spec
+    out_shape = jax.ShapeDtypeStruct(x2.shape, x.dtype)
+    scratch = [pltpu.VMEM((G * N_pad, C), x.dtype)]
+    if save_res:
+        qkv_spec = pl.BlockSpec((G * N_pad, 3 * C), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        out_specs = (x_spec, qkv_spec, x_spec)
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((B * N_pad, 3 * C), x.dtype),
+                     jax.ShapeDtypeStruct(x2.shape, x.dtype))
+        scratch = []
     out = pl.pallas_call(
         functools.partial(
             _attn_ln_kernel, scale=scale, num_heads=num_heads, seq_n=N_pad,
             eps=eps, fast=(x.dtype == jnp.bfloat16 and not interpret),
             has_qbias=qbias is not None, has_amask=amask is not None,
-            has_hmask=hmask is not None),
+            has_hmask=hmask is not None, save_res=save_res),
         grid=grid,
         in_specs=in_specs,
-        out_specs=x_spec,
-        out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
-        scratch_shapes=[pltpu.VMEM((G * N_pad, C), x.dtype)],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         interpret=interpret,
     )(*operands)
+    if save_res:
+        out, qkv, ctx = out
+        return (out.reshape(B, N_pad, C)[:, :N],
+                qkv.reshape(B, N_pad, 3 * C), ctx.reshape(B, N_pad, C))
     return out.reshape(B, N_pad, C)[:, :N]
 
 
@@ -1561,20 +1752,99 @@ def fused_attn_ln(x, wqkv, bqkv, wproj, bproj, kbias, lns, lnb,
 
 def _attn_ln_fwd(x, wqkv, bqkv, wproj, bproj, kbias, lns, lnb, scale,
                  num_heads, eps, group, interpret):
-    out = fused_attn_ln(x, wqkv, bqkv, wproj, bproj, kbias, lns, lnb,
-                        scale, num_heads, eps, group, interpret)
-    return out, (x, wqkv, bqkv, wproj, bproj, kbias, lns, lnb)
+    out, qkv, ctx = _attn_ln_impl(x, wqkv, bqkv, wproj, bproj, kbias,
+                                  None, None, None, lns, lnb, scale,
+                                  num_heads, eps, group, interpret,
+                                  save_res=True)
+    return out, (x, wqkv, bqkv, wproj, bproj, kbias, None, None, None,
+                 lns, lnb, qkv, ctx)
+
+
+def _attn_ln_bwd_stored(scale, num_heads, eps, res, g):
+    """Store-residual backward of the post-LN attention half.
+
+    The saved in-kernel QKV and ctx replace the qkv-projection and
+    attention-context recompute; the attention score/softmax recompute
+    (needed for the softmax vjp) runs from the saved QKV as standard
+    BERT-shaped XLA einsums.  All other recompute is elementwise."""
+    (x, wqkv, bqkv, wproj, bproj, kbias, qbias, amask, hmask, lns, lnb,
+     qkv, ctx) = res
+    B, N, C = x.shape
+    dt = x.dtype
+    Dh = C // num_heads
+    N_pad = qkv.shape[1]
+    if N_pad != N:
+        x = jnp.pad(x, ((0, 0), (0, N_pad - N), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, N_pad - N), (0, 0)))
+        kbias = jnp.pad(kbias, ((0, 0), (0, N_pad - N)),
+                        constant_values=-1e9)
+        if qbias is not None:
+            qbias = jnp.pad(qbias, ((0, 0), (0, N_pad - N),
+                                    (0, N_pad - N)))
+        if amask is not None:
+            amask = jnp.pad(amask, ((0, 0), (0, 0), (0, N_pad - N),
+                                    (0, N_pad - N)))
+        if hmask is not None:
+            hmask = jnp.pad(hmask, ((0, 0), (0, N_pad - N), (0, 0)))
+
+    x2 = x.reshape(-1, C)
+    g2 = g.reshape(-1, C)
+    ctx2 = ctx.reshape(-1, C)
+    hmask2 = hmask.reshape(-1, C).astype(jnp.float32) \
+        if hmask is not None else None
+
+    # recompute the pre-LN sum exactly from the saved ctx
+    attn = jnp.matmul(ctx2, wproj,
+                      preferred_element_type=jnp.float32) + bproj
+    if hmask2 is not None:
+        attn = attn * hmask2
+    res_sum = attn + x2.astype(jnp.float32)
+
+    def ln_piece(res_f, lns, lnb):
+        return _ln(res_f, lns, lnb, eps=eps).astype(dt)
+
+    _, vjp_ln = jax.vjp(ln_piece, res_sum, lns, lnb)
+    dres, dlns, dlnb = vjp_ln(g2)
+
+    da = dres * hmask2 if hmask2 is not None else dres
+    dwproj = ctx2.astype(jnp.float32).T @ da
+    dbproj = da.sum(0)
+    dctx = (da @ wproj.astype(jnp.float32).T).astype(dt)
+
+    # attention core vjp from the saved QKV (standard BERT shapes — XLA
+    # handles these well; the ctx product is dead code)
+    def core_piece(qkv3, kbias_p):
+        q, k, v = (qkv3[..., i * C:(i + 1) * C]
+                   .reshape(B, N_pad, num_heads, Dh).transpose(0, 2, 1, 3)
+                   for i in range(3))
+        s = jnp.einsum("bhnd,bhmd->bhnm", q.astype(jnp.float32) * scale,
+                       k.astype(jnp.float32))
+        s = s + kbias_p[:, None, None, :]
+        if qbias is not None:
+            s = s + qbias[:, None].astype(jnp.float32)
+        p = jax.nn.softmax(s, axis=-1)
+        if amask is not None:
+            p = p * amask.astype(jnp.float32)
+        c = jnp.einsum("bhnm,bhmd->bhnd", p.astype(v.dtype), v)
+        return c.transpose(0, 2, 1, 3).reshape(-1, C)
+
+    _, vjp_core = jax.vjp(core_piece, qkv, kbias)
+    dQKV, dkbias = vjp_core(dctx)
+    dQKV2 = dQKV.reshape(-1, 3 * C).astype(jnp.float32)
+
+    dwqkv = x2.astype(jnp.float32).T @ dQKV2
+    dbqkv = dQKV2.sum(0)
+    dx2 = dQKV2 @ wqkv.astype(jnp.float32).T
+
+    dx = (dres + dx2).reshape(B, N_pad, C)[:, :N].astype(dt)
+    dkbias = dkbias[:, :N].astype(kbias.dtype)
+    return (dx, dwqkv.astype(wqkv.dtype), dbqkv.astype(bqkv.dtype),
+            dwproj.astype(wproj.dtype), dbproj.astype(bproj.dtype),
+            dkbias, dlns.astype(lns.dtype), dlnb.astype(lnb.dtype))
 
 
 def _attn_ln_bwd(scale, num_heads, eps, group, interpret, res, g):
-    x, wqkv, bqkv, wproj, bproj, kbias, lns, lnb = res
-
-    def ref(x, wqkv, bqkv, wproj, bproj, kbias, lns, lnb):
-        return _attn_ln_xla_ref(x, wqkv, bqkv, wproj, bproj, kbias, lns,
-                                lnb, scale, num_heads, eps)
-
-    _, vjp = jax.vjp(ref, x, wqkv, bqkv, wproj, bproj, kbias, lns, lnb)
-    return vjp(g)
+    return _attn_ln_bwd_stored(scale, num_heads, eps, res, g)
 
 
 fused_attn_ln.defvjp(_attn_ln_fwd, _attn_ln_bwd)
@@ -1608,24 +1878,18 @@ def fused_attn_ln_masked(x, wqkv, bqkv, wproj, bproj, kbias, qbias, amask,
 def _attn_ln_masked_fwd(x, wqkv, bqkv, wproj, bproj, kbias, qbias, amask,
                         hmask, lns, lnb, scale, num_heads, eps, group,
                         interpret):
-    out = fused_attn_ln_masked(x, wqkv, bqkv, wproj, bproj, kbias, qbias,
-                               amask, hmask, lns, lnb, scale, num_heads,
-                               eps, group, interpret)
+    out, qkv, ctx = _attn_ln_impl(x, wqkv, bqkv, wproj, bproj, kbias,
+                                  qbias, amask, hmask, lns, lnb, scale,
+                                  num_heads, eps, group, interpret,
+                                  save_res=True)
     return out, (x, wqkv, bqkv, wproj, bproj, kbias, qbias, amask, hmask,
-                 lns, lnb)
+                 lns, lnb, qkv, ctx)
 
 
 def _attn_ln_masked_bwd(scale, num_heads, eps, group, interpret, res, g):
-    (x, wqkv, bqkv, wproj, bproj, kbias, qbias, amask, hmask, lns,
-     lnb) = res
-
-    def ref(x, wqkv, bqkv, wproj, bproj, kbias, lns, lnb):
-        return _attn_ln_xla_ref(x, wqkv, bqkv, wproj, bproj, kbias, lns,
-                                lnb, scale, num_heads, eps, qbias=qbias,
-                                amask=amask, hmask=hmask)
-
-    _, vjp = jax.vjp(ref, x, wqkv, bqkv, wproj, bproj, kbias, lns, lnb)
-    dx, dwqkv, dbqkv, dwproj, dbproj, dkbias, dlns, dlnb = vjp(g)
+    qbias, amask, hmask = res[6:9]
+    (dx, dwqkv, dbqkv, dwproj, dbproj, dkbias, dlns, dlnb) = \
+        _attn_ln_bwd_stored(scale, num_heads, eps, res, g)
     zero = lambda a: None if a is None else jnp.zeros_like(a)
     return (dx, dwqkv, dbqkv, dwproj, dbproj, dkbias, zero(qbias),
             zero(amask), zero(hmask), dlns, dlnb)
@@ -1636,10 +1900,13 @@ fused_attn_ln_masked.defvjp(_attn_ln_masked_fwd, _attn_ln_masked_bwd)
 
 def _mlp_ln_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, *rest,
                    eps: float, fast: bool = False,
-                   has_hmask: bool = False):
+                   has_hmask: bool = False, save_res: bool = False):
     rest = list(rest)
     hmask_ref = rest.pop(0) if has_hmask else None
-    lns_ref, lnb_ref, o_ref = rest
+    if save_res:
+        lns_ref, lnb_ref, o_ref, res_ref = rest
+    else:
+        lns_ref, lnb_ref, o_ref = rest
 
     def dot(a, b):
         return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
@@ -1653,6 +1920,10 @@ def _mlp_ln_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, *rest,
     if has_hmask:
         out = out * hmask_ref[:].astype(jnp.float32)
     res = out + x_ref[:].astype(jnp.float32)
+    if save_res:
+        # pre-LN residual sum in f32: the store-residual backward takes
+        # the exact LN statistics from it instead of recomputing the MLP
+        res_ref[:] = res
     o_ref[:] = _ln(res, lns_ref[:], lnb_ref[:], eps=eps,
                    fast=fast).astype(o_ref.dtype)
 
@@ -1669,7 +1940,8 @@ def _mlp_ln_xla_ref(x, w1, b1, w2, b2, lns, lnb, eps, hmask=None):
     return _ln(res, lns, lnb, eps=eps).astype(x.dtype).reshape(shape)
 
 
-def _mlp_ln_impl(x, w1, b1, w2, b2, hmask, lns, lnb, eps, rows, interpret):
+def _mlp_ln_impl(x, w1, b1, w2, b2, hmask, lns, lnb, eps, rows, interpret,
+                 save_res=False):
     shape = x.shape
     C = shape[-1]
     x2 = x.reshape(-1, C)
@@ -1701,16 +1973,25 @@ def _mlp_ln_impl(x, w1, b1, w2, b2, hmask, lns, lnb, eps, rows, interpret):
     in_specs += [const_spec(lns.shape), const_spec(lnb.shape)]
     operands += [lns, lnb]
 
+    out_specs = x_spec
+    out_shape = jax.ShapeDtypeStruct(x2.shape, x.dtype)
+    if save_res:
+        out_specs = (x_spec, x_spec)
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct(x2.shape, jnp.float32))
     out = pl.pallas_call(
         functools.partial(_mlp_ln_kernel, eps=eps,
                           fast=(x.dtype == jnp.bfloat16 and not interpret),
-                          has_hmask=hmask is not None),
+                          has_hmask=hmask is not None, save_res=save_res),
         grid=grid,
         in_specs=in_specs,
-        out_specs=x_spec,
-        out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(*operands)
+    if save_res:
+        out, res = out
+        return out[:x.size // C].reshape(shape), res
     return out[:x.size // C].reshape(shape)
 
 
@@ -1726,18 +2007,55 @@ def fused_mlp_ln(x, w1, b1, w2, b2, lns, lnb, eps: float = 1e-12,
 
 
 def _mlp_ln_fwd(x, w1, b1, w2, b2, lns, lnb, eps, rows, interpret):
-    out = fused_mlp_ln(x, w1, b1, w2, b2, lns, lnb, eps, rows, interpret)
-    return out, (x, w1, b1, w2, b2, lns, lnb)
+    out, res_sum = _mlp_ln_impl(x, w1, b1, w2, b2, None, lns, lnb, eps,
+                                rows, interpret, save_res=True)
+    return out, (x, w1, b1, w2, b2, None, lns, lnb, res_sum)
+
+
+def _mlp_ln_bwd_stored(eps, interpret, res, g):
+    """Store-residual backward of the post-LN MLP half: LN statistics
+    come from the saved pre-LN sum; the only recompute is fc1+GELU (one
+    matmul, needed for the GELU derivative — the fc2 product is dead
+    code under the vjp)."""
+    x, w1, b1, w2, b2, hmask, lns, lnb, res_sum = res
+    shape = x.shape
+    C = shape[-1]
+    dt = x.dtype
+    x2 = x.reshape(-1, C)
+    M = x2.shape[0]
+    g2 = g.reshape(-1, C)
+    res2 = res_sum[:M]
+
+    def ln_piece(res_f, lns, lnb):
+        return _ln(res_f, lns, lnb, eps=eps).astype(dt)
+
+    _, vjp_ln = jax.vjp(ln_piece, res2, lns, lnb)
+    dres, dlns, dlnb = vjp_ln(g2)
+
+    dmlp = dres * hmask.reshape(-1, C).astype(jnp.float32) \
+        if hmask is not None else dres
+
+    def fc_piece(x2, w1, b1, w2, b2):
+        m = jax.nn.gelu(
+            jnp.matmul(x2, w1, preferred_element_type=jnp.float32) + b1,
+            approximate=False)
+        return jnp.matmul(m.astype(dt), w2,
+                          preferred_element_type=jnp.float32) + b2
+
+    _, vjp_fc = jax.vjp(fc_piece, x2, w1, b1, w2, b2)
+    dx2, dw1, db1, dw2, db2 = vjp_fc(dmlp)
+
+    dx = (dx2.astype(jnp.float32) + dres).astype(dt).reshape(shape)
+    out = (dx, dw1.astype(w1.dtype), db1.astype(b1.dtype),
+           dw2.astype(w2.dtype), db2.astype(b2.dtype))
+    dh = None if hmask is None else jnp.zeros_like(hmask)
+    return out, dh, dlns.astype(lns.dtype), dlnb.astype(lnb.dtype)
 
 
 def _mlp_ln_bwd(eps, rows, interpret, res, g):
-    x, w1, b1, w2, b2, lns, lnb = res
-
-    def ref(x, w1, b1, w2, b2, lns, lnb):
-        return _mlp_ln_xla_ref(x, w1, b1, w2, b2, lns, lnb, eps)
-
-    _, vjp = jax.vjp(ref, x, w1, b1, w2, b2, lns, lnb)
-    return vjp(g)
+    (dx, dw1, db1, dw2, db2), _, dlns, dlnb = \
+        _mlp_ln_bwd_stored(eps, interpret, res, g)
+    return dx, dw1, db1, dw2, db2, dlns, dlnb
 
 
 fused_mlp_ln.defvjp(_mlp_ln_fwd, _mlp_ln_bwd)
@@ -1756,21 +2074,15 @@ def fused_mlp_ln_masked(x, w1, b1, w2, b2, hmask, lns, lnb,
 
 def _mlp_ln_masked_fwd(x, w1, b1, w2, b2, hmask, lns, lnb, eps, rows,
                        interpret):
-    out = fused_mlp_ln_masked(x, w1, b1, w2, b2, hmask, lns, lnb, eps,
-                              rows, interpret)
-    return out, (x, w1, b1, w2, b2, hmask, lns, lnb)
+    out, res_sum = _mlp_ln_impl(x, w1, b1, w2, b2, hmask, lns, lnb, eps,
+                                rows, interpret, save_res=True)
+    return out, (x, w1, b1, w2, b2, hmask, lns, lnb, res_sum)
 
 
 def _mlp_ln_masked_bwd(eps, rows, interpret, res, g):
-    x, w1, b1, w2, b2, hmask, lns, lnb = res
-
-    def ref(x, w1, b1, w2, b2, lns, lnb):
-        return _mlp_ln_xla_ref(x, w1, b1, w2, b2, lns, lnb, eps,
-                               hmask=hmask)
-
-    _, vjp = jax.vjp(ref, x, w1, b1, w2, b2, lns, lnb)
-    dx, dw1, db1, dw2, db2, dlns, dlnb = vjp(g)
-    return (dx, dw1, db1, dw2, db2, jnp.zeros_like(hmask), dlns, dlnb)
+    (dx, dw1, db1, dw2, db2), dh, dlns, dlnb = \
+        _mlp_ln_bwd_stored(eps, interpret, res, g)
+    return dx, dw1, db1, dw2, db2, dh, dlns, dlnb
 
 
 fused_mlp_ln_masked.defvjp(_mlp_ln_masked_fwd, _mlp_ln_masked_bwd)
