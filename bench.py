@@ -163,11 +163,12 @@ def measure_pretrain_step(batch: int = 32, iters: int = 10) -> float:
         create_train_state(model, variables, make_optimizer(cfg)), mesh)
     step = make_pretrain_step(model, False, mesh, shardings)
     sb = step.shard_batch(b)
-    state, m = step(state, sb, jax.random.PRNGKey(0))
+    key = jax.random.key(0, impl="rbg")   # production path: TrainConfig.rng_impl
+    state, m = step(state, sb, key)
     float(jax.device_get(m["loss"]))       # force completion (axon runtime)
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, m = step(state, sb, jax.random.PRNGKey(0))
+        state, m = step(state, sb, key)
     float(jax.device_get(m["loss"]))
     dt = time.perf_counter() - t0
     return batch * iters / dt

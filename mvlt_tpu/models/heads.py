@@ -18,7 +18,9 @@ from flax import linen as nn
 from mvlt_tpu.config import MVLTConfig
 from mvlt_tpu.models.backbones import VisualAdapter
 from mvlt_tpu.models.fusion import FusionEncoder
-from mvlt_tpu.ops.layers import cross_entropy_ignore_index, gelu_exact, normal_init
+from mvlt_tpu.ops.layers import (cross_entropy_ignore_index,
+                                  gather_label_positions, gelu_exact,
+                                  normal_init)
 
 
 class HeadTransform(nn.Module):
@@ -126,12 +128,18 @@ class PretrainModel(nn.Module):
             self.mlm_head_seq2seq(out.text_output())
             self.mlm_head_bidir(out.text_output())
         head = self.mlm_head_seq2seq if seq2seq else self.mlm_head_bidir
-        mlm_logits = head(out.text_output())
+        text_out, mlm_label = out.text_output(), caption_label
+        if cfg.mlm_gather_k and not self.is_initializing():
+            # vocab projection only on the <=10 masked positions
+            # (lossless — see gather_label_positions)
+            text_out, mlm_label = gather_label_positions(
+                text_out, caption_label, cfg.mlm_gather_k)
+        mlm_logits = head(text_out)
 
         metrics = {}
         loss = jnp.float32(0.0)
         if cfg.mlm_task:
-            mlm_loss = cross_entropy_ignore_index(mlm_logits, caption_label)
+            mlm_loss = cross_entropy_ignore_index(mlm_logits, mlm_label)
             metrics["mlm_loss"] = mlm_loss
             loss = loss + mlm_loss
         if cfg.itm_task:
@@ -246,5 +254,21 @@ class CaptionModel(nn.Module):
 
     def loss(self, image, caption, labels, learning_strategy: str = "unilm",
              deterministic: bool = False):
+        cfg = self.config
+        if (learning_strategy == "unilm" and cfg.mlm_gather_k
+                and not self.is_initializing()):
+            # 'unilm' labels are <=10 masked positions per sample (same
+            # masking as pretraining) — project only those rows.  The
+            # 'normal' (shift-by-one) strategy labels every position, so
+            # it keeps the full-sequence logits.
+            feat = self.conv(image, deterministic)
+            text_mask = caption > 0
+            image_mask = jnp.ones(feat.shape[:2], bool)
+            out = self.fusion(caption, text_mask, feat, image_mask,
+                              seq2seq_mask=True, deterministic=deterministic)
+            hid, lab = gather_label_positions(out.text_output(), labels,
+                                              cfg.mlm_gather_k)
+            logits = self.mlm_head_seq2seq(hid)
+            return cross_entropy_ignore_index(logits, lab), logits
         logits = self(image, caption, learning_strategy, deterministic)
         return cross_entropy_ignore_index(logits, labels), logits

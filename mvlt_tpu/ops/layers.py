@@ -104,3 +104,34 @@ def cross_entropy_ignore_index(logits: jnp.ndarray, labels: jnp.ndarray,
     nll = jnp.where(valid, nll, 0.0)
     count = jnp.maximum(valid.sum(), 1)
     return nll.sum() / count
+
+
+def gather_label_positions(hidden: jnp.ndarray, labels: jnp.ndarray,
+                           k: int, ignore_index: int = -100):
+    """Select up to ``k`` positions per sample whose label is not
+    ``ignore_index`` (stable original order), for sparse-label heads.
+
+    MLM-style losses only read the ~15% masked positions, yet the vocab
+    projection (hidden x 30k — as many FLOPs as the whole fusion encoder
+    at report lengths) is computed for every position.  Gathering first
+    keeps the projection + softmax on a static (B, k) slice.  The data
+    pipeline masks at most 10 tokens per sample
+    (``data/transforms.py:random_mask_word``, reference
+    ``run_pretrain.py:130-158``), so ``k=16`` loses nothing; if a caller
+    supplies more than ``k`` valid labels the overflow positions are
+    dropped from the loss (mean semantics over the kept ones).
+
+    Returns ``(hidden_g (B, k, H), labels_g (B, k))`` — feed to the head
+    and :func:`cross_entropy_ignore_index`; the mean over valid positions
+    is unchanged.
+    """
+    B, L = labels.shape
+    k = min(k, L)
+    # argsort of the "is padding" flag, stable: valid positions first,
+    # each keeping its original order
+    order = jnp.argsort((labels == ignore_index).astype(jnp.int32),
+                        axis=-1, stable=True)
+    idx = order[:, :k]
+    labels_g = jnp.take_along_axis(labels, idx, axis=1)
+    hidden_g = jnp.take_along_axis(hidden, idx[..., None], axis=1)
+    return hidden_g, labels_g

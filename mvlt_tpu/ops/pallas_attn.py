@@ -501,8 +501,15 @@ def _ln(xf, scale, bias, eps=1e-5, fast: bool = False):
     return (xf - mu) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
-def _attend(q, k, v, bias, fast: bool):
+def _attend(q, k, v, bias, fast: bool, scale: float = 1.0):
     """One head's window attention core: scores -> softmax -> PV, f32.
+
+    ``q``/``k`` arrive UNSCALED in the caller's compute dtype; ``scale``
+    is folded into the f32 scores AFTER the QK^T dot.  On the bf16 fast
+    path that keeps both dot operands bf16 — the v5e MXU is bf16-native
+    and f32 matmuls are emulated multi-pass, so a pre-scaled f32 q would
+    silently run the dot several times slower.  The f32/slow path
+    reproduces the original ordering (q*scale before the dot) bit-exactly.
 
     Fast path keeps softmax UN-normalized through the PV dot and rescales
     the (N, Dh) context instead of the (N, N) weights — the row-sum is an
@@ -515,9 +522,16 @@ def _attend(q, k, v, bias, fast: bool):
     overflow) and saturating beyond only flattens an already-one-hot row.
     The ``max(rowsum, 1e-30)`` guard keeps fully-masked (padded) rows
     finite.  The f32/interpret path is the exact textbook softmax."""
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    s = s + bias
+    if fast:
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * scale + bias
+    else:
+        s = jax.lax.dot_general(q.astype(jnp.float32) * scale,
+                                k.astype(jnp.float32),
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s + bias
     if fast:
         p = jnp.exp(jnp.minimum(s, 60.0))
         N = p.shape[-1]
@@ -575,14 +589,14 @@ def _full_body(X, dt, refs, bias_ref, ctx_ref, *, scale, num_heads,
         if mask_ref is not None:
             gmask = mask_ref[g % Gb].astype(jnp.float32)
         for hh in range(num_heads):
-            q = rows[:, hh * Dh:(hh + 1) * Dh].astype(jnp.float32) * scale
-            k = rows[:, C + hh * Dh:C + (hh + 1) * Dh].astype(jnp.float32)
+            q = rows[:, hh * Dh:(hh + 1) * Dh]
+            k = rows[:, C + hh * Dh:C + (hh + 1) * Dh]
             v = rows[:, 2 * C + hh * Dh:2 * C + (hh + 1) * Dh]
             if mask_ref is not None:
                 hb = bias_ref[0, hh] + gmask
             else:
                 hb = bias_ref[g % Gb, hh]
-            ctx = _attend(q, k, v, hb, fast)
+            ctx = _attend(q, k, v, hb, fast, scale)
             ctx_ref[g * N:(g + 1) * N, hh * Dh:(hh + 1) * Dh] = \
                 ctx.astype(ctx_ref.dtype)
 
@@ -1356,61 +1370,85 @@ def _stored_block_bwd(x, params, bias, dp, qkv, ctx, g, scale, num_heads,
     BW, N, C = x.shape
     dt = x.dtype
 
+    # All big matmuls below run with DT (bf16 on the fast path) operands
+    # and f32 accumulation (preferred_element_type): the v5e MXU is
+    # bf16-native and f32 matmuls are emulated multi-pass, so feeding f32
+    # cotangents into a generic jax.vjp silently turns every weight/
+    # input-grad matmul into a multi-pass f32 one.  Elementwise chains
+    # (LN statistics, GELU derivative, reductions) stay f32.
+    def mm(a, b):
+        return jnp.matmul(a, b, preferred_element_type=jnp.float32)
+
     xf = x.reshape(-1, C).astype(jnp.float32)
-    g2 = g.reshape(-1, C).astype(jnp.float32)
-    ctx2 = ctx.reshape(-1, C)
+    gf = g.reshape(-1, C).astype(jnp.float32)
+    gd = g.reshape(-1, C).astype(dt)
+    ctx2 = ctx.reshape(-1, C)                       # dt
     dp1 = dp[0] if dp is not None else None        # (BW*N, 1) f32
     dp2 = dp[1] if dp is not None else None
 
     # recompute res1 exactly from the saved ctx (one C^2 matmul)
-    attn_nodp = (ctx2 @ wproj).astype(jnp.float32) + bproj
+    attn_nodp = mm(ctx2, wproj) + bproj
     res1 = xf + (attn_nodp * dp1 if dp1 is not None else attn_nodp)
 
-    # --- MLP half: vjp recomputes LN2 + fc1 + GELU; the fc2 product is
-    # dead-code-eliminated unless the dp2 grad needs it ---
-    def mlp_piece(res1, ln2s, ln2b, w1, b1, w2, b2, dp2v):
-        h2 = _ln(res1, ln2s, ln2b).astype(dt)
-        m = jax.nn.gelu((h2 @ w1).astype(jnp.float32) + b1,
-                        approximate=False)
-        mlp = (m.astype(dt) @ w2).astype(jnp.float32) + b2
-        if dp2v is not None:
-            mlp = mlp * dp2v
-        return res1 + mlp
+    # --- MLP half: recompute LN2 + fc1 + GELU (needed for the GELU
+    # derivative); fc2's product is recomputed only when the dp2 grad
+    # needs it.  The forward kernel's bf16 fast path uses tanh-GELU
+    # (_gelu_exact with fast=True); the recompute must match both for
+    # gradient consistency and because exact-erf GELU is an expensive
+    # VPU op at (M, 4C) f32 scale.
+    approx_gelu = dt == jnp.bfloat16 and not interp
+
+    def ln_f(r, s, bb):
+        return _ln(r, s, bb)
+
+    h2f, vjp_ln2 = jax.vjp(ln_f, res1, ln2s, ln2b)
+    h2d = h2f.astype(dt)
+    a1 = mm(h2d, w1) + b1                          # f32 pre-GELU
+    m, vjp_gelu = jax.vjp(
+        lambda a: jax.nn.gelu(a, approximate=approx_gelu), a1)
+    md = m.astype(dt)
 
     if dp2 is None:
-        _, vjp_mlp = jax.vjp(
-            lambda r, s, bb, a1, c1, a2, c2: mlp_piece(r, s, bb, a1, c1,
-                                                       a2, c2, None),
-            res1, ln2s, ln2b, w1, b1, w2, b2)
-        dres1, dln2s, dln2b, dw1, db1, dw2, db2 = vjp_mlp(g2)
-        ddp2 = None
+        dmlp_f, ddp2 = gf, None
     else:
-        _, vjp_mlp = jax.vjp(mlp_piece, res1, ln2s, ln2b, w1, b1, w2, b2,
-                             dp2)
-        dres1, dln2s, dln2b, dw1, db1, dw2, db2, ddp2 = vjp_mlp(g2)
+        mlp_nodp = mm(md, w2) + b2
+        ddp2 = (gf * mlp_nodp).sum(-1, keepdims=True)
+        dmlp_f = gf * dp2
+    dmlp_d = dmlp_f.astype(dt)
+    dw2 = mm(md.T, dmlp_d)
+    db2 = dmlp_f.sum(0)
+    dm = mm(dmlp_d, w2.astype(dt).T)
+    (da1,) = vjp_gelu(dm)
+    da1_d = da1.astype(dt)
+    dw1 = mm(h2d.T, da1_d)
+    db1 = da1.sum(0)
+    dh2 = mm(da1_d, w1.astype(dt).T)
+    dres1_ln, dln2s, dln2b = vjp_ln2(dh2)
+    dres1 = gf + dres1_ln
 
     # --- attention tail (no recompute at all) ---
     da = dres1 * dp1 if dp1 is not None else dres1
     ddp1 = (dres1 * attn_nodp).sum(-1, keepdims=True) \
         if dp1 is not None else None
-    dwproj = ctx2.astype(jnp.float32).T @ da
+    da_d = da.astype(dt)
+    dwproj = mm(ctx2.T, da_d)
     dbproj = da.sum(0)
-    dctx = (da @ wproj.astype(jnp.float32).T).astype(dt)
+    dctx = mm(da_d, wproj.astype(dt).T).astype(dt)
 
     # --- attention core backward on the saved QKV (Pallas) ---
     bias_arr = bias
     dQKV, dbias = attention_core_bwd(qkv, dctx.reshape(BW, N, C), bias_arr,
                                      scale, num_heads, interpret=interp)
     dQKV2 = dQKV.reshape(-1, 3 * C)
+    dQKV2_d = dQKV2.astype(dt)
 
-    # --- qkv head: vjp recomputes LN1 (elementwise); the qkv product is
-    # dead code ---
-    def qkv_piece(x2f, ln1s, ln1b, wqkv, bqkv):
-        h1 = _ln(x2f, ln1s, ln1b).astype(dt)
-        return (h1 @ wqkv) + bqkv
-
-    _, vjp_qkv = jax.vjp(qkv_piece, xf, ln1s, ln1b, wqkv, bqkv)
-    dx_h, dln1s, dln1b, dwqkv, dbqkv = vjp_qkv(dQKV2)
+    # --- qkv head: recompute LN1 (elementwise) ---
+    h1f, vjp_ln1 = jax.vjp(ln_f, xf, ln1s, ln1b)
+    h1d = h1f.astype(dt)
+    dwqkv = mm(h1d.T, dQKV2_d)
+    dbqkv = dQKV2.astype(jnp.float32).sum(0)
+    dh1 = mm(dQKV2_d, wqkv.astype(dt).T)
+    dx_h, dln1s, dln1b = vjp_ln1(dh1)
 
     dx = (dres1 + dx_h).reshape(BW, N, C).astype(dt)
     dparams = (dln1s.astype(ln1s.dtype), dln1b.astype(ln1b.dtype),
@@ -1588,12 +1626,19 @@ def _attn_ln_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
         kbias = kbias_ref[base + g][None, :]                 # (1, N) additive
         qb = qbias_ref[g].astype(jnp.float32) if has_qbias else None
         for hh in range(num_heads):
-            q = rows[:, hh * Dh:(hh + 1) * Dh].astype(jnp.float32) * scale
-            k = rows[:, C + hh * Dh:C + (hh + 1) * Dh].astype(jnp.float32)
+            q = rows[:, hh * Dh:(hh + 1) * Dh]
+            k = rows[:, C + hh * Dh:C + (hh + 1) * Dh]
             v = rows[:, 2 * C + hh * Dh:2 * C + (hh + 1) * Dh]
             if has_qbias or has_amask:
-                s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
+                if fast:
+                    s = jax.lax.dot_general(
+                        q, k, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32) * scale
+                else:
+                    s = jax.lax.dot_general(
+                        q.astype(jnp.float32) * scale,
+                        k.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
                 s = s + kbias
                 if has_qbias:
                     s = s + qb
@@ -1604,7 +1649,7 @@ def _attn_ln_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
                     p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
             else:
-                ctx = _attend(q, k, v, kbias, fast)
+                ctx = _attend(q, k, v, kbias, fast, scale)
             ctx_ref[g * N:(g + 1) * N, hh * Dh:(hh + 1) * Dh] = \
                 ctx.astype(ctx_ref.dtype)
 
@@ -1807,34 +1852,80 @@ def _attn_ln_bwd_stored(scale, num_heads, eps, res, g):
     dres, dlns, dlnb = vjp_ln(g2)
 
     da = dres * hmask2 if hmask2 is not None else dres
-    dwproj = ctx2.astype(jnp.float32).T @ da
-    dbproj = da.sum(0)
-    dctx = (da @ wproj.astype(jnp.float32).T).astype(dt)
 
-    # attention core vjp from the saved QKV (standard BERT shapes — XLA
-    # handles these well; the ctx product is dead code)
-    def core_piece(qkv3, kbias_p):
-        q, k, v = (qkv3[..., i * C:(i + 1) * C]
+    if dt == jnp.bfloat16:
+        # hand-written mixed-precision backward: all matmuls/einsums run
+        # with bf16 operands + f32 accumulation (the v5e MXU is
+        # bf16-native; f32 matmuls are emulated multi-pass).  Softmax
+        # statistics, the jacobian and reductions stay f32.
+        def mm(a, b):
+            return jnp.matmul(a, b, preferred_element_type=jnp.float32)
+
+        da_d = da.astype(dt)
+        dwproj = mm(ctx2.T, da_d)
+        dbproj = da.sum(0)
+        dctx = mm(da_d, wproj.astype(dt).T).astype(dt)
+
+        q, k, v = (qkv[..., i * C:(i + 1) * C]
                    .reshape(B, N_pad, num_heads, Dh).transpose(0, 2, 1, 3)
                    for i in range(3))
-        s = jnp.einsum("bhnd,bhmd->bhnm", q.astype(jnp.float32) * scale,
-                       k.astype(jnp.float32))
-        s = s + kbias_p[:, None, None, :]
+        s = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                       preferred_element_type=jnp.float32) * scale
+        s = s + kbias[:, None, None, :]
         if qbias is not None:
             s = s + qbias[:, None].astype(jnp.float32)
-        p = jax.nn.softmax(s, axis=-1)
-        if amask is not None:
-            p = p * amask.astype(jnp.float32)
-        c = jnp.einsum("bhnm,bhmd->bhnd", p.astype(v.dtype), v)
-        return c.transpose(0, 2, 1, 3).reshape(-1, C)
+        p = jax.nn.softmax(s, axis=-1)                       # f32
+        pa = p * amask.astype(jnp.float32) if amask is not None else p
+        pa_d = pa.astype(dt)
+        dc = dctx.reshape(B, N_pad, num_heads, Dh).transpose(0, 2, 1, 3)
+        dv = jnp.einsum("bhnm,bhnd->bhmd", pa_d, dc,
+                        preferred_element_type=jnp.float32)
+        dpa = jnp.einsum("bhnd,bhmd->bhnm", dc, v,
+                         preferred_element_type=jnp.float32)
+        dp = dpa * amask.astype(jnp.float32) if amask is not None else dpa
+        ds = p * (dp - (dp * p).sum(-1, keepdims=True))
+        dkbias = ds.sum(axis=(1, 2))
+        ds_d = (ds * scale).astype(dt)
+        dq = jnp.einsum("bhnm,bhmd->bhnd", ds_d, k,
+                        preferred_element_type=jnp.float32)
+        dk = jnp.einsum("bhnm,bhnd->bhmd", ds_d, q,
+                        preferred_element_type=jnp.float32)
+        dQKV2_d = jnp.concatenate(
+            [a.transpose(0, 2, 1, 3).reshape(-1, C) for a in (dq, dk, dv)],
+            axis=-1).astype(dt)
+        dwqkv = mm(x2.astype(dt).T, dQKV2_d)
+        dbqkv = dQKV2_d.astype(jnp.float32).sum(0)
+        dx2 = mm(dQKV2_d, wqkv.astype(dt).T)
+    else:
+        dwproj = ctx2.astype(jnp.float32).T @ da
+        dbproj = da.sum(0)
+        dctx = (da @ wproj.astype(jnp.float32).T).astype(dt)
 
-    _, vjp_core = jax.vjp(core_piece, qkv, kbias)
-    dQKV, dkbias = vjp_core(dctx)
-    dQKV2 = dQKV.reshape(-1, 3 * C).astype(jnp.float32)
+        # attention core vjp from the saved QKV (standard BERT shapes —
+        # XLA handles these well; the ctx product is dead code)
+        def core_piece(qkv3, kbias_p):
+            q, k, v = (qkv3[..., i * C:(i + 1) * C]
+                       .reshape(B, N_pad, num_heads, Dh)
+                       .transpose(0, 2, 1, 3)
+                       for i in range(3))
+            s = jnp.einsum("bhnd,bhmd->bhnm", q.astype(jnp.float32) * scale,
+                           k.astype(jnp.float32))
+            s = s + kbias_p[:, None, None, :]
+            if qbias is not None:
+                s = s + qbias[:, None].astype(jnp.float32)
+            p = jax.nn.softmax(s, axis=-1)
+            if amask is not None:
+                p = p * amask.astype(jnp.float32)
+            c = jnp.einsum("bhnm,bhmd->bhnd", p.astype(v.dtype), v)
+            return c.transpose(0, 2, 1, 3).reshape(-1, C)
 
-    dwqkv = x2.astype(jnp.float32).T @ dQKV2
-    dbqkv = dQKV2.sum(0)
-    dx2 = dQKV2 @ wqkv.astype(jnp.float32).T
+        _, vjp_core = jax.vjp(core_piece, qkv, kbias)
+        dQKV, dkbias = vjp_core(dctx)
+        dQKV2 = dQKV.reshape(-1, 3 * C).astype(jnp.float32)
+
+        dwqkv = x2.astype(jnp.float32).T @ dQKV2
+        dbqkv = dQKV2.sum(0)
+        dx2 = dQKV2 @ wqkv.astype(jnp.float32).T
 
     dx = (dres + dx2).reshape(B, N_pad, C)[:, :N].astype(dt)
     dkbias = dkbias[:, :N].astype(kbias.dtype)
@@ -2035,15 +2126,37 @@ def _mlp_ln_bwd_stored(eps, interpret, res, g):
     dmlp = dres * hmask.reshape(-1, C).astype(jnp.float32) \
         if hmask is not None else dres
 
-    def fc_piece(x2, w1, b1, w2, b2):
-        m = jax.nn.gelu(
-            jnp.matmul(x2, w1, preferred_element_type=jnp.float32) + b1,
-            approximate=False)
-        return jnp.matmul(m.astype(dt), w2,
-                          preferred_element_type=jnp.float32) + b2
+    approx_gelu = dt == jnp.bfloat16 and not interpret
 
-    _, vjp_fc = jax.vjp(fc_piece, x2, w1, b1, w2, b2)
-    dx2, dw1, db1, dw2, db2 = vjp_fc(dmlp)
+    if dt == jnp.bfloat16:
+        # hand-written mixed-precision backward (see _attn_ln_bwd_stored):
+        # matmuls in bf16 with f32 accumulation, GELU derivative in f32
+        def mm(a, b):
+            return jnp.matmul(a, b, preferred_element_type=jnp.float32)
+
+        a1 = mm(x2, w1) + b1
+        m, vjp_gelu = jax.vjp(
+            lambda a: jax.nn.gelu(a, approximate=approx_gelu), a1)
+        md = m.astype(dt)
+        dmlp_d = dmlp.astype(dt)
+        dw2 = mm(md.T, dmlp_d)
+        db2 = dmlp.sum(0)
+        dm = mm(dmlp_d, w2.astype(dt).T)
+        (da1,) = vjp_gelu(dm)
+        da1_d = da1.astype(dt)
+        dw1 = mm(x2.T, da1_d)
+        db1 = da1.sum(0)
+        dx2 = mm(da1_d, w1.astype(dt).T)
+    else:
+        def fc_piece(x2, w1, b1, w2, b2):
+            m = jax.nn.gelu(
+                jnp.matmul(x2, w1, preferred_element_type=jnp.float32) + b1,
+                approximate=approx_gelu)
+            return jnp.matmul(m.astype(dt), w2,
+                              preferred_element_type=jnp.float32) + b2
+
+        _, vjp_fc = jax.vjp(fc_piece, x2, w1, b1, w2, b2)
+        dx2, dw1, db1, dw2, db2 = vjp_fc(dmlp)
 
     dx = (dx2.astype(jnp.float32) + dres).astype(dt).reshape(shape)
     out = (dx, dw1.astype(w1.dtype), db1.astype(b1.dtype),
@@ -2118,10 +2231,11 @@ def _attn_half_kernel(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
     for g in range(G):               # pattern index needs the grid offset
         rows = QKV[g * N:(g + 1) * N]
         for hh in range(num_heads):
-            q = rows[:, hh * Dh:(hh + 1) * Dh].astype(jnp.float32) * scale
-            k = rows[:, C + hh * Dh:C + (hh + 1) * Dh].astype(jnp.float32)
+            q = rows[:, hh * Dh:(hh + 1) * Dh]
+            k = rows[:, C + hh * Dh:C + (hh + 1) * Dh]
             v = rows[:, 2 * C + hh * Dh:2 * C + (hh + 1) * Dh]
-            ctx = _attend(q, k, v, bias_ref[(base + g) % Gb, hh], fast)
+            ctx = _attend(q, k, v, bias_ref[(base + g) % Gb, hh], fast,
+                          scale)
             ctx_ref[g * N:(g + 1) * N, hh * Dh:(hh + 1) * Dh] = \
                 ctx.astype(ctx_ref.dtype)
     attn = dot(ctx_ref[:], wproj_ref[:])
@@ -2244,12 +2358,14 @@ def _mlp_preln_kernel(x_ref, ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref,
     o_ref[:] = (X + out + b2_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
 
 
-def _mlp_preln_xla_ref(x, ln2s, ln2b, w1, b1, w2, b2):
+def _mlp_preln_xla_ref(x, ln2s, ln2b, w1, b1, w2, b2,
+                       approx_gelu=False):
     shape = x.shape
     C = shape[-1]
     xf = x.reshape(-1, C).astype(jnp.float32)
     h = _ln(xf, ln2s, ln2b).astype(x.dtype)
-    m = jax.nn.gelu((h @ w1).astype(jnp.float32) + b1, approximate=False)
+    m = jax.nn.gelu((h @ w1).astype(jnp.float32) + b1,
+                    approximate=approx_gelu)
     out = (m.astype(x.dtype) @ w2).astype(jnp.float32) + b2
     return (xf + out).astype(x.dtype).reshape(shape)
 
@@ -2299,9 +2415,11 @@ def _mlp_preln_fwd(x, ln2s, ln2b, w1, b1, w2, b2, rows, interpret):
 
 def _mlp_preln_bwd(rows, interpret, res, g):
     x, ln2s, ln2b, w1, b1, w2, b2 = res
+    approx = x.dtype == jnp.bfloat16 and not interpret
 
     def ref(x, ln2s, ln2b, w1, b1, w2, b2):
-        return _mlp_preln_xla_ref(x, ln2s, ln2b, w1, b1, w2, b2)
+        return _mlp_preln_xla_ref(x, ln2s, ln2b, w1, b1, w2, b2,
+                                  approx_gelu=approx)
 
     _, vjp = jax.vjp(ref, x, ln2s, ln2b, w1, b1, w2, b2)
     return vjp(g)
@@ -2336,10 +2454,11 @@ def _core_fwd_kernel(qkv_ref, bias_ref, o_ref, *, scale: float,
     for g in range(G):
         rows = qkv_ref[g]
         for hh in range(num_heads):
-            q = rows[:, hh * Dh:(hh + 1) * Dh].astype(jnp.float32) * scale
-            k = rows[:, C + hh * Dh:C + (hh + 1) * Dh].astype(jnp.float32)
+            q = rows[:, hh * Dh:(hh + 1) * Dh]
+            k = rows[:, C + hh * Dh:C + (hh + 1) * Dh]
             v = rows[:, 2 * C + hh * Dh:2 * C + (hh + 1) * Dh]
-            ctx = _attend(q, k, v, bias_ref[(base + g) % Gb, hh], fast)
+            ctx = _attend(q, k, v, bias_ref[(base + g) % Gb, hh], fast,
+                          scale)
             o_ref[g, :, hh * Dh:(hh + 1) * Dh] = ctx.astype(o_ref.dtype)
 
 
@@ -2357,16 +2476,31 @@ def _core_bwd_kernel(qkv_ref, dctx_ref, bias_ref, dqkv_ref, dbias_ref, *,
     ones = jnp.ones((N, 1), jnp.float32)
     base = pl.program_id(0) * G      # see _core_fwd_kernel pattern note
 
+    dt = qkv_ref.dtype
     for g in range(G):
         rows = qkv_ref[g]
         for hh in range(num_heads):
-            qs = rows[:, hh * Dh:(hh + 1) * Dh].astype(jnp.float32) * scale
-            k = rows[:, C + hh * Dh:C + (hh + 1) * Dh].astype(jnp.float32)
-            v = rows[:, 2 * C + hh * Dh:2 * C + (hh + 1) * Dh].astype(
-                jnp.float32)
-            s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            s = s + bias_ref[(base + g) % Gb, hh]
+            # dtype-native dot operands (the v5e MXU is bf16-native; f32
+            # matmuls are emulated multi-pass): scale folds into the f32
+            # scores after the dot, and the softmax jacobian's f32 ds is
+            # cast back to dt for the dq/dk dots.  The slow path keeps
+            # the original all-f32 dots (interpret/f32 tests bit-tight).
+            qd = rows[:, hh * Dh:(hh + 1) * Dh]
+            kd = rows[:, C + hh * Dh:C + (hh + 1) * Dh]
+            vd = rows[:, 2 * C + hh * Dh:2 * C + (hh + 1) * Dh]
+            dctx_d = dctx_ref[g, :, hh * Dh:(hh + 1) * Dh]
+            if fast:
+                s = jax.lax.dot_general(qd, kd, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                s = s * scale + bias_ref[(base + g) % Gb, hh]
+            else:
+                qd = qd.astype(jnp.float32) * scale
+                kd = kd.astype(jnp.float32)
+                vd = vd.astype(jnp.float32)
+                dctx_d = dctx_d.astype(jnp.float32)
+                s = jax.lax.dot_general(qd, kd, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                s = s + bias_ref[(base + g) % Gb, hh]
             s = s - jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s)
             denom = jax.lax.dot_general(e, ones, (((1,), (0,)), ((), ())),
@@ -2375,22 +2509,34 @@ def _core_bwd_kernel(qkv_ref, dctx_ref, bias_ref, dqkv_ref, dbias_ref, *,
                 p = e * pl.reciprocal(jnp.maximum(denom, 1e-30), approx=True)
             else:
                 p = e / denom
-            dctx = dctx_ref[g, :, hh * Dh:(hh + 1) * Dh].astype(jnp.float32)
+            pd = p.astype(dt) if fast else p
             # dp = dctx V^T   (lane-lane contraction)
-            dp = jax.lax.dot_general(dctx, v, (((1,), (1,)), ((), ())),
+            dp = jax.lax.dot_general(dctx_d, vd, (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32)
             # dv = P^T dctx   (row-row contraction)
-            dv = jax.lax.dot_general(p, dctx, (((0,), (0,)), ((), ())),
+            dv = jax.lax.dot_general(pd, dctx_d, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
             pdp = p * dp
             rd = jax.lax.dot_general(pdp, ones, (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
             ds = pdp - p * rd
-            dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32) \
-                * scale
-            dk = jax.lax.dot_general(ds, qs, (((0,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
+            dsd = ds.astype(dt) if fast else ds
+            if fast:
+                dq = jax.lax.dot_general(
+                    dsd, kd, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                dk = jax.lax.dot_general(
+                    dsd, qd, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+            else:
+                # slow path: qd already carries scale (dk inherits it;
+                # dq scales explicitly) — original ordering, bit-exact
+                dq = jax.lax.dot_general(
+                    dsd, kd, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                dk = jax.lax.dot_general(
+                    dsd, qd, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
             dqkv_ref[g, :, hh * Dh:(hh + 1) * Dh] = dq.astype(dqkv_ref.dtype)
             dqkv_ref[g, :, C + hh * Dh:C + (hh + 1) * Dh] = \
                 dk.astype(dqkv_ref.dtype)
@@ -2561,7 +2707,7 @@ def _full_ref_fastcore(x, params, bias, dp, scale, num_heads, interpret,
     res1 = xf + attn
     h2 = _ln(res1, ln2s, ln2b).astype(x.dtype)
     m = jax.nn.gelu((h2.reshape(-1, C) @ w1).astype(jnp.float32) + b1,
-                    approximate=False)
+                    approximate=(x.dtype == jnp.bfloat16 and not interpret))
     mlp = (m.astype(x.dtype) @ w2).astype(jnp.float32) + b2
     mlp = mlp.reshape(BW, N, C)
     if dp is not None:

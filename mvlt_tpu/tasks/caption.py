@@ -13,7 +13,7 @@ import numpy as np
 from mvlt_tpu.data.loader import DataLoader
 from mvlt_tpu.metrics.eval_cap import CaptionEvaluator, compute_scores
 from mvlt_tpu.models.generation import GenerationSpec, generate
-from mvlt_tpu.tasks.common import TaskRunner
+from mvlt_tpu.tasks.common import TaskRunner, train_rng
 from mvlt_tpu.train import make_caption_step
 
 
@@ -28,7 +28,7 @@ def train_caption(runner: TaskRunner, train_ds, test_ds=None,
     loader = DataLoader(train_ds, tc.batch_size, shuffle=True, drop_last=True,
                         seed=tc.seed, process_index=jax.process_index(),
                         process_count=jax.process_count())
-    rng = jax.random.PRNGKey(tc.seed)
+    rng = train_rng(tc)
     evals = []
     for epoch in range(epochs):
         for b in step.prefetch(loader.epoch(epoch)):

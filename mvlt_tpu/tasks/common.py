@@ -27,6 +27,18 @@ def device_batch(batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
             if isinstance(v, np.ndarray) or np.isscalar(v)}
 
 
+def train_rng(tc: TrainConfig, offset: int = 0) -> jax.Array:
+    """Training rng keyed by ``tc.seed`` using ``tc.rng_impl``.
+
+    ``rng_impl='rbg'`` (default) maps dropout-mask generation onto the TPU
+    hardware RNG — roughly half the per-step mask cost of threefry at
+    flagship shapes (see :class:`mvlt_tpu.config.TrainConfig`)."""
+    impl = getattr(tc, "rng_impl", "threefry2x32")
+    if impl in ("threefry", "threefry2x32", None):
+        return jax.random.PRNGKey(tc.seed + offset)
+    return jax.random.key(tc.seed + offset, impl=impl)
+
+
 class TaskRunner:
     """Owns mesh, model state, step functions, checkpoints, logging."""
 

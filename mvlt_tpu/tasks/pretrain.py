@@ -11,7 +11,7 @@ from typing import Optional
 import jax
 
 from mvlt_tpu.data.loader import DataLoader
-from mvlt_tpu.tasks.common import TaskRunner
+from mvlt_tpu.tasks.common import TaskRunner, train_rng
 from mvlt_tpu.train import make_pretrain_step, seq2seq_coin_flip
 from mvlt_tpu.utils import checkpoint as ckpt_lib
 
@@ -27,8 +27,8 @@ def train_pretrain(runner: TaskRunner, train_ds,
     loader = DataLoader(train_ds, tc.batch_size, shuffle=True, drop_last=True,
                         seed=tc.seed, process_index=jax.process_index(),
                         process_count=jax.process_count())
-    rng = jax.random.PRNGKey(tc.seed)
-    flip_rng = jax.random.PRNGKey(tc.seed + 1)
+    rng = train_rng(tc)
+    flip_rng = train_rng(tc, offset=1)
     n_seq2seq = 0
     for epoch in range(epochs):
         prefetched = steps[False].prefetch(loader.epoch(epoch))

@@ -13,7 +13,7 @@ import numpy as np
 
 from mvlt_tpu.data.loader import DataLoader
 from mvlt_tpu.metrics.retrieval import evaluate_retrieval
-from mvlt_tpu.tasks.common import TaskRunner
+from mvlt_tpu.tasks.common import TaskRunner, train_rng
 from mvlt_tpu.train import make_retrieval_step
 
 
@@ -26,7 +26,7 @@ def train_retrieval(runner: TaskRunner, train_ds,
     loader = DataLoader(train_ds, tc.batch_size, shuffle=True, drop_last=True,
                         seed=tc.seed, process_index=jax.process_index(),
                         process_count=jax.process_count())
-    rng = jax.random.PRNGKey(tc.seed)
+    rng = train_rng(tc)
     def merged_batches(epoch):
         for batch in loader.epoch(epoch):
             yield {k: np.concatenate([batch["pos"][k], batch["neg"][k]])

@@ -14,7 +14,7 @@ import numpy as np
 
 from mvlt_tpu.data.loader import DataLoader
 from mvlt_tpu.metrics.vqa import vqa_accuracy
-from mvlt_tpu.tasks.common import TaskRunner
+from mvlt_tpu.tasks.common import TaskRunner, train_rng
 from mvlt_tpu.train import make_vqa_step
 
 
@@ -64,7 +64,7 @@ def train_vqa(runner: TaskRunner, train_ds, valid_ds=None, test_ds=None,
     loader = DataLoader(train_ds, tc.batch_size, shuffle=True, drop_last=True,
                         seed=tc.seed, process_index=jax.process_index(),
                         process_count=jax.process_count())
-    rng = jax.random.PRNGKey(tc.seed)
+    rng = train_rng(tc)
     best = {"valid_acc": -1.0, "epoch": -1}
     for epoch in range(epochs):
         for b in step.prefetch(loader.epoch(epoch)):

@@ -127,3 +127,23 @@ def test_eval_reuses_compiled_fn():
     fn2 = runner._compiled["vqa_eval_fwd"]
     assert fn2 is fn1                      # same jitted callable
     assert fn2._cache_size() == 1          # no re-trace on the 2nd eval
+
+
+@pytest.mark.quick
+def test_train_rng_impls():
+    """train_rng honors TrainConfig.rng_impl: the default 'rbg' produces a
+    typed key that flows through fold_in/bernoulli (the dropout path), and
+    'threefry2x32' falls back to the raw uint32 PRNGKey."""
+    from mvlt_tpu.tasks.common import train_rng
+
+    tc = TrainConfig()                       # default: rbg
+    k = train_rng(tc)
+    assert jnp.issubdtype(k.dtype, jax.dtypes.prng_key)
+    m = jax.random.bernoulli(jax.random.fold_in(k, 3), 0.5, (8,))
+    assert m.shape == (8,)
+
+    tc2 = TrainConfig(rng_impl="threefry2x32")
+    k2 = train_rng(tc2)
+    assert k2.dtype == jnp.uint32            # raw PRNGKey for reproducibility
+    k3 = train_rng(tc2, offset=1)
+    assert not np.array_equal(np.asarray(k2), np.asarray(k3))
