@@ -2501,8 +2501,15 @@ def _core_bwd_kernel(qkv_ref, dctx_ref, bias_ref, dqkv_ref, dbias_ref, *,
                 s = jax.lax.dot_general(qd, kd, (((1,), (1,)), ((), ())),
                                         preferred_element_type=jnp.float32)
                 s = s + bias_ref[(base + g) % Gb, hh]
-            s = s - jnp.max(s, axis=-1, keepdims=True)
-            e = jnp.exp(s)
+            if fast:
+                # overflow-clamp softmax, EXACTLY as the fast forward
+                # (_attend): no row-max lane reduce, and the recomputed p
+                # matches the forward's p bit-for-bit so the gradient is
+                # consistent with the function actually evaluated.
+                e = jnp.exp(jnp.minimum(s, 60.0))
+            else:
+                s = s - jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp(s)
             denom = jax.lax.dot_general(e, ones, (((1,), (0,)), ((), ())),
                                         preferred_element_type=jnp.float32)
             if fast:
