@@ -1805,13 +1805,189 @@ def _attn_ln_fwd(x, wqkv, bqkv, wproj, bproj, kbias, lns, lnb, scale,
                  lns, lnb, qkv, ctx)
 
 
-def _attn_ln_bwd_stored(scale, num_heads, eps, res, g):
+def _seq_core_bwd_kernel(qkv_ref, dctx_ref, kbias_ref, *rest,
+                         scale: float, num_heads: int, seq_n: int,
+                         fast: bool = False, has_qbias: bool = False,
+                         has_amask: bool = False):
+    """Backward of the per-sample attention core at sequence geometry.
+
+    The XLA formulation of this vjp materializes five (B, nH, N, N)
+    tensors (s, p, dpa, ds and casts) through HBM — ~100 MB each at
+    flagship pretrain shapes — which made the attention-half backward
+    ~5x its forward.  This kernel keeps every score-sized intermediate
+    in VMEM: one read of the saved QKV/dctx blocks, one write of dQKV.
+
+    Block layout mirrors :func:`_attn_ln_kernel`: rows are
+    ``(G * N_pad, .)`` with G samples per program; ``kbias`` is the full
+    (B, N_pad) array indexed with the grid offset; qbias/amask are
+    per-program blocks.  Fast path recomputes the overflow-clamp softmax
+    exactly as the forward kernel so the gradient is consistent with the
+    function actually evaluated; dots run with dtype-native (bf16)
+    operands + f32 accumulation."""
+    rest = list(rest)
+    qbias_ref = rest.pop(0) if has_qbias else None
+    amask_ref = rest.pop(0) if has_amask else None
+    dqkv_ref, dkb_ref = rest
+
+    GN, C3 = qkv_ref.shape
+    C = C3 // 3
+    N = seq_n
+    G = GN // N
+    Dh = C // num_heads
+    base = pl.program_id(0) * G
+    ones = jnp.ones((N, 1), jnp.float32)
+    dt = qkv_ref.dtype
+
+    for g in range(G):
+        rows = qkv_ref[g * N:(g + 1) * N]
+        kbias = kbias_ref[base + g][None, :]
+        qb = qbias_ref[g].astype(jnp.float32) if has_qbias else None
+        dkb_acc = jnp.zeros((1, N), jnp.float32)
+        for hh in range(num_heads):
+            qd = rows[:, hh * Dh:(hh + 1) * Dh]
+            kd = rows[:, C + hh * Dh:C + (hh + 1) * Dh]
+            vd = rows[:, 2 * C + hh * Dh:2 * C + (hh + 1) * Dh]
+            dctx_d = dctx_ref[g * N:(g + 1) * N, hh * Dh:(hh + 1) * Dh]
+            if fast:
+                s = jax.lax.dot_general(qd, kd, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                s = s * scale + kbias
+            else:
+                qd = qd.astype(jnp.float32) * scale
+                kd = kd.astype(jnp.float32)
+                vd = vd.astype(jnp.float32)
+                dctx_d = dctx_d.astype(jnp.float32)
+                s = jax.lax.dot_general(qd, kd, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                s = s + kbias
+            if qb is not None:
+                s = s + qb
+            if fast:
+                e = jnp.exp(jnp.minimum(s, 60.0))
+            else:
+                e = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+            denom = jax.lax.dot_general(e, ones, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+            if fast:
+                p = e * pl.reciprocal(jnp.maximum(denom, 1e-30), approx=True)
+            else:
+                p = e / denom
+            if has_amask:
+                am = amask_ref[g, hh].astype(jnp.float32)
+                pa = p * am
+            else:
+                am, pa = None, p
+            pa_d = pa.astype(dt) if fast else pa
+            # dpa = dctx V^T (lane-lane); dv = Pa^T dctx (row-row)
+            dpa = jax.lax.dot_general(dctx_d, vd, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            dv = jax.lax.dot_general(pa_d, dctx_d, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            dp = dpa * am if has_amask else dpa
+            pdp = p * dp
+            rd = jax.lax.dot_general(pdp, ones, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            ds = pdp - p * rd
+            # dkbias: column sum of ds, accumulated over heads (MXU matvec)
+            dkb_acc = dkb_acc + jax.lax.dot_general(
+                ones, ds, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dsd = ds.astype(dt) if fast else ds
+            if fast:
+                dq = jax.lax.dot_general(
+                    dsd, kd, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                dk = jax.lax.dot_general(
+                    dsd, qd, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+            else:
+                # slow path: qd already carries scale (dk inherits it;
+                # dq scales explicitly) — mirrors _core_bwd_kernel
+                dq = jax.lax.dot_general(
+                    dsd, kd, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                dk = jax.lax.dot_general(
+                    dsd, qd, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            r0 = g * N
+            dqkv_ref[r0:r0 + N, hh * Dh:(hh + 1) * Dh] = \
+                dq.astype(dqkv_ref.dtype)
+            dqkv_ref[r0:r0 + N, C + hh * Dh:C + (hh + 1) * Dh] = \
+                dk.astype(dqkv_ref.dtype)
+            dqkv_ref[r0:r0 + N, 2 * C + hh * Dh:2 * C + (hh + 1) * Dh] = \
+                dv.astype(dqkv_ref.dtype)
+        # dkb_ref is the full (B, N) array (constant index map — a
+        # (G, N) block would violate the (8, 128) tiling rule); programs
+        # write disjoint row ranges of the resident block.
+        dkb_ref[pl.dslice(base + g, 1), :] = dkb_acc
+
+
+def seq_attention_core_bwd(qkv, dctx, kbias, qbias, amask, scale: float,
+                           num_heads: int, interpret: bool = False):
+    """VJP of the sequence attention core wrt (qkv, kbias).
+
+    ``ctx = (softmax(q k^T * scale + kbias [+ qbias]) [* amask]) v`` per
+    sample/head from fused-qkv rows.  qkv: (B, N, 3C) (padded layout from
+    the fused forward), dctx: (B, N, C), kbias: (B, N) f32, qbias:
+    (B, N, N) f32 or None, amask: (B, nH, N, N) or None.
+
+    Returns ``(dqkv (B, N, 3C) in qkv.dtype, dkbias (B, N) f32)``.
+    qbias/amask carry no gradient (seq2seq masks / dropout masks)."""
+    B, N, C3 = qkv.shape
+    C = C3 // 3
+    G = 8
+    # VMEM: qkv + dqkv + dctx blocks (double-buffered) + per-head f32
+    # score intermediates; amask adds nH*N bf16 per row, qbias 4N
+    per_row = 16 * C + (2 * num_heads * N if amask is not None else 0) \
+        + (4 * N if qbias is not None else 0)
+    while G > 1 and (B % G != 0 or G * N * per_row > 8 * 1024 * 1024):
+        G //= 2
+    while B % G != 0:
+        G //= 2
+
+    grid = (B // G,)
+    row_spec = lambda c: pl.BlockSpec((G * N, c), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM)
+    kb_spec = pl.BlockSpec((B, N), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    in_specs = [row_spec(C3), row_spec(C), kb_spec]
+    operands = [qkv.reshape(B * N, C3), dctx.reshape(B * N, C),
+                kbias.astype(jnp.float32)]
+    if qbias is not None:
+        in_specs.append(pl.BlockSpec((G, N, N), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(qbias)
+    if amask is not None:
+        in_specs.append(pl.BlockSpec((G, num_heads, N, N),
+                                     lambda i: (i, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(amask)
+    dqkv, dkb = pl.pallas_call(
+        functools.partial(
+            _seq_core_bwd_kernel, scale=scale, num_heads=num_heads,
+            seq_n=N, fast=(qkv.dtype == jnp.bfloat16 and not interpret),
+            has_qbias=qbias is not None, has_amask=amask is not None),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(row_spec(C3),
+                   pl.BlockSpec((B, N), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((B * N, C3), qkv.dtype),
+                   jax.ShapeDtypeStruct((B, N), jnp.float32)),
+        interpret=interpret,
+    )(*operands)
+    return dqkv.reshape(B, N, C3), dkb
+
+
+def _attn_ln_bwd_stored(scale, num_heads, eps, res, g, interpret=False):
     """Store-residual backward of the post-LN attention half.
 
     The saved in-kernel QKV and ctx replace the qkv-projection and
     attention-context recompute; the attention score/softmax recompute
-    (needed for the softmax vjp) runs from the saved QKV as standard
-    BERT-shaped XLA einsums.  All other recompute is elementwise."""
+    (needed for the softmax vjp) runs from the saved QKV — through
+    :func:`seq_attention_core_bwd` (score tensors stay in VMEM) on the
+    bf16 path, as standard BERT-shaped XLA einsums otherwise.  All other
+    recompute is elementwise."""
     (x, wqkv, bqkv, wproj, bproj, kbias, qbias, amask, hmask, lns, lnb,
      qkv, ctx) = res
     B, N, C = x.shape
@@ -1866,33 +2042,10 @@ def _attn_ln_bwd_stored(scale, num_heads, eps, res, g):
         dbproj = da.sum(0)
         dctx = mm(da_d, wproj.astype(dt).T).astype(dt)
 
-        q, k, v = (qkv[..., i * C:(i + 1) * C]
-                   .reshape(B, N_pad, num_heads, Dh).transpose(0, 2, 1, 3)
-                   for i in range(3))
-        s = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                       preferred_element_type=jnp.float32) * scale
-        s = s + kbias[:, None, None, :]
-        if qbias is not None:
-            s = s + qbias[:, None].astype(jnp.float32)
-        p = jax.nn.softmax(s, axis=-1)                       # f32
-        pa = p * amask.astype(jnp.float32) if amask is not None else p
-        pa_d = pa.astype(dt)
-        dc = dctx.reshape(B, N_pad, num_heads, Dh).transpose(0, 2, 1, 3)
-        dv = jnp.einsum("bhnm,bhnd->bhmd", pa_d, dc,
-                        preferred_element_type=jnp.float32)
-        dpa = jnp.einsum("bhnd,bhmd->bhnm", dc, v,
-                         preferred_element_type=jnp.float32)
-        dp = dpa * amask.astype(jnp.float32) if amask is not None else dpa
-        ds = p * (dp - (dp * p).sum(-1, keepdims=True))
-        dkbias = ds.sum(axis=(1, 2))
-        ds_d = (ds * scale).astype(dt)
-        dq = jnp.einsum("bhnm,bhmd->bhnd", ds_d, k,
-                        preferred_element_type=jnp.float32)
-        dk = jnp.einsum("bhnm,bhnd->bhmd", ds_d, q,
-                        preferred_element_type=jnp.float32)
-        dQKV2_d = jnp.concatenate(
-            [a.transpose(0, 2, 1, 3).reshape(-1, C) for a in (dq, dk, dv)],
-            axis=-1).astype(dt)
+        dQKV, dkbias = seq_attention_core_bwd(
+            qkv, dctx.reshape(B, N_pad, C), kbias, qbias, amask, scale,
+            num_heads, interpret=interpret)
+        dQKV2_d = dQKV.reshape(-1, 3 * C)
         dwqkv = mm(x2.astype(dt).T, dQKV2_d)
         dbqkv = dQKV2_d.astype(jnp.float32).sum(0)
         dx2 = mm(dQKV2_d, wqkv.astype(dt).T)
@@ -1935,7 +2088,8 @@ def _attn_ln_bwd_stored(scale, num_heads, eps, res, g):
 
 
 def _attn_ln_bwd(scale, num_heads, eps, group, interpret, res, g):
-    return _attn_ln_bwd_stored(scale, num_heads, eps, res, g)
+    return _attn_ln_bwd_stored(scale, num_heads, eps, res, g,
+                               interpret=interpret)
 
 
 fused_attn_ln.defvjp(_attn_ln_fwd, _attn_ln_bwd)
@@ -1980,7 +2134,8 @@ def _attn_ln_masked_fwd(x, wqkv, bqkv, wproj, bproj, kbias, qbias, amask,
 def _attn_ln_masked_bwd(scale, num_heads, eps, group, interpret, res, g):
     qbias, amask, hmask = res[6:9]
     (dx, dwqkv, dbqkv, dwproj, dbproj, dkbias, dlns, dlnb) = \
-        _attn_ln_bwd_stored(scale, num_heads, eps, res, g)
+        _attn_ln_bwd_stored(scale, num_heads, eps, res, g,
+                            interpret=interpret)
     zero = lambda a: None if a is None else jnp.zeros_like(a)
     return (dx, dwqkv, dbqkv, dwproj, dbproj, dkbias, zero(qbias),
             zero(amask), zero(hmask), dlns, dlnb)

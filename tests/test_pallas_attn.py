@@ -645,3 +645,89 @@ def test_fused_mlp_ln_masked():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-4, rtol=1e-4)
+
+
+@pytest.mark.quick
+def test_seq_core_bwd_kernel_matches_vjp():
+    """seq_attention_core_bwd (interpret) == jax.vjp of the XLA attention
+    core, for every qbias/amask combination, incl. the kbias cotangent."""
+    from mvlt_tpu.ops.pallas_attn import seq_attention_core_bwd
+    rng = np.random.default_rng(33)
+    B, N, C, nH = 4, 16, 32, 4
+    Dh = C // nH
+    scale = Dh ** -0.5
+    qkv = jnp.asarray(rng.normal(size=(B, N, 3 * C)) * 0.3, jnp.float32)
+    dctx = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
+    kbias = jnp.where(jnp.asarray(rng.random((B, N)) > 0.2), 0.0,
+                      -10000.0).astype(jnp.float32)
+    causal = np.triu(np.full((N, N), -10000.0), 1).astype(np.float32)
+    qbias = jnp.asarray(causal)[None].repeat(B, 0)
+    amask = (jnp.asarray(rng.random((B, nH, N, N)) > 0.1, jnp.float32)
+             / 0.9)
+
+    def core(qkv3, kb, qb, am):
+        q, k, v = (qkv3[..., i * C:(i + 1) * C]
+                   .reshape(B, N, nH, Dh).transpose(0, 2, 1, 3)
+                   for i in range(3))
+        s = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k)
+        s = s + kb[:, None, None, :]
+        if qb is not None:
+            s = s + qb[:, None]
+        p = jax.nn.softmax(s, axis=-1)
+        if am is not None:
+            p = p * am
+        c = jnp.einsum("bhnm,bhmd->bhnd", p, v)
+        return c.transpose(0, 2, 1, 3).reshape(B, N, C)
+
+    for qb, am in [(None, None), (qbias, None), (None, amask),
+                   (qbias, amask)]:
+        _, vjp = jax.vjp(lambda a, b: core(a, b, qb, am), qkv, kbias)
+        want_dqkv, want_dkb = vjp(dctx)
+        got_dqkv, got_dkb = seq_attention_core_bwd(
+            qkv, dctx, kbias, qb, am, scale, nH, interpret=True)
+        np.testing.assert_allclose(np.asarray(got_dqkv),
+                                   np.asarray(want_dqkv),
+                                   atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(got_dkb),
+                                   np.asarray(want_dkb),
+                                   atol=1e-3, rtol=1e-4)
+
+
+@pytest.mark.quick
+def test_fused_attn_ln_bf16_stored_grad():
+    """bf16 stored backward (the seq-core Pallas kernel branch, interpret
+    mode) tracks the f32 XLA reference within bf16 tolerances."""
+    from mvlt_tpu.ops.pallas_attn import (_attn_ln_xla_ref,
+                                          fused_attn_ln_masked)
+    rng = np.random.default_rng(34)
+    B, N, C, nH = 4, 13, 32, 4
+    x = jnp.asarray(rng.normal(size=(B, N, C)) * 0.5, jnp.bfloat16)
+    wqkv = jnp.asarray(rng.normal(size=(C, 3 * C)) * 0.1, jnp.bfloat16)
+    bqkv = jnp.zeros((3 * C,), jnp.bfloat16)
+    wproj = jnp.asarray(rng.normal(size=(C, C)) * 0.1, jnp.bfloat16)
+    bproj = jnp.zeros((C,), jnp.bfloat16)
+    kbias = jnp.where(jnp.asarray(rng.random((B, N)) > 0.2), 0.0,
+                      -10000.0).astype(jnp.float32)
+    causal = np.triu(np.full((N, N), -10000.0), 1).astype(np.float32)
+    qbias = jnp.asarray(causal)[None].repeat(B, 0)
+    amask = (jnp.asarray(rng.random((B, nH, N, N)) > 0.1, jnp.float32)
+             / 0.9).astype(jnp.bfloat16)
+    lns, lnb = jnp.ones(C), jnp.zeros(C)
+    scale = (C // nH) ** -0.5
+
+    for qb, am in [(qbias, amask), (None, None)]:
+        g1 = jax.grad(lambda x_, w_: fused_attn_ln_masked(
+            x_, w_, bqkv, wproj, bproj, kbias, qb, am, None, lns, lnb,
+            scale, nH, 1e-12, 8, True).astype(jnp.float32).sum(),
+            argnums=(0, 1))(x, wqkv)
+        g2 = jax.grad(lambda x_, w_: _attn_ln_xla_ref(
+            x_.astype(jnp.float32), w_.astype(jnp.float32),
+            bqkv.astype(jnp.float32), wproj.astype(jnp.float32),
+            bproj.astype(jnp.float32), kbias, lns, lnb, scale, nH,
+            1e-12, qb, None if am is None else am.astype(jnp.float32))
+            .sum(), argnums=(0, 1))(x.astype(jnp.float32),
+                                    wqkv.astype(jnp.float32))
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b),
+                atol=0.15, rtol=0.05)
