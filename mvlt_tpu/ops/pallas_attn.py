@@ -1356,6 +1356,208 @@ def _full_bwd_stored(scale, num_heads, interpret, res, g):
                              num_heads, interp)
 
 
+def _gelu_grad(a, fast: bool):
+    """(gelu(a), gelu'(a)) in f32, matching :func:`_gelu_exact`'s two
+    formulations (tanh fast path / A&S-rational-erf exact path)."""
+    if fast:
+        u = 0.7978845608028654 * (a + 0.044715 * a * a * a)
+        t = jnp.tanh(u)
+        du = 0.7978845608028654 * (1.0 + 0.134145 * a * a)
+        return 0.5 * a * (1.0 + t), \
+            0.5 * (1.0 + t) + 0.5 * a * (1.0 - t * t) * du
+    Phi = 0.5 * (1.0 + _erf_approx(a * 0.7071067811865476))
+    phi = jnp.exp(-0.5 * a * a) * 0.3989422804014327
+    return a * Phi, Phi + a * phi
+
+
+def _swin_mlp_bwd_kernel(x_ref, ctx_ref, g_ref, wproj_ref, bproj_ref,
+                         ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref,
+                         b2_ref, *rest, eps: float, fast: bool,
+                         has_dp: bool):
+    """Backward of the pre-LN Swin MLP half (+ res1/attn recompute) on a
+    row chunk, with weight-grad accumulation across the sequential grid.
+
+    The XLA formulation materializes ~5 (M, 4C) f32 intermediates
+    (pre-GELU, GELU value/derivative, cotangents) through HBM — ~150 MB
+    each at stage-1 geometry.  Here they live and die in VMEM; HBM sees
+    one read of x/ctx/g (+dp) and one f32 write of dres1 (+ddp).
+
+    Rows are independent (DropPath multipliers are per-row inputs), so
+    the grid just chunks the flattened (BW*N, C) row dim — no window
+    structure.  Emits dres1 = d(loss)/d(res1) for the attention tail,
+    ddp1 = rowsum(dres1 * attn_nodp) and ddp2 = rowsum(g * mlp_nodp)."""
+    rest = list(rest)
+    dp1_ref = rest.pop(0) if has_dp else None
+    dp2_ref = rest.pop(0) if has_dp else None
+    if has_dp:
+        (dres1_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dln2s_ref,
+         dln2b_ref, ddp1_ref, ddp2_ref) = rest
+    else:
+        (dres1_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dln2s_ref,
+         dln2b_ref) = rest
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+        dln2s_ref[...] = jnp.zeros_like(dln2s_ref)
+        dln2b_ref[...] = jnp.zeros_like(dln2b_ref)
+
+    R, C = x_ref.shape
+    dt = x_ref.dtype
+    ones_c = jnp.ones((C, 1), jnp.float32)
+    ones_r = jnp.ones((R, 1), jnp.float32)
+
+    def rowsum(a):                      # (R, C) -> (R, 1), MXU matvec
+        return jax.lax.dot_general(a, ones_c, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def colsum(a):                      # (R, K) -> (1, K), MXU matvec
+        return jax.lax.dot_general(ones_r, a, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def dot(a, b):                      # (R, K) @ (K, L), dt operands
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def dot_t(a, b):                    # (R, K) @ (L, K)^T
+        return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def dot_rows(a, b):                 # (R, K)^T @ (R, L)
+        return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    xf = x_ref[:].astype(jnp.float32)
+    gf = g_ref[:].astype(jnp.float32)
+
+    # res1 recompute from the saved ctx (one C^2 matmul)
+    attn_nodp = dot(ctx_ref[:], wproj_ref[:]) \
+        + bproj_ref[:].astype(jnp.float32)
+    if has_dp:
+        res1 = xf + attn_nodp * dp1_ref[:]
+    else:
+        res1 = xf + attn_nodp
+
+    # LN2 recompute with stats kept for the backward
+    mu = rowsum(res1) * (1.0 / C)
+    var = rowsum(res1 * res1) * (1.0 / C) - mu * mu
+    r = jax.lax.rsqrt(var + eps)
+    xhat = (res1 - mu) * r
+    s2 = ln2s_ref[:].astype(jnp.float32)
+    h2 = xhat * s2 + ln2b_ref[:].astype(jnp.float32)
+    h2d = h2.astype(dt)
+
+    a1 = dot(h2d, w1_ref[:]) + b1_ref[:].astype(jnp.float32)
+    m, dg = _gelu_grad(a1, fast)
+    md = m.astype(dt)
+
+    if has_dp:
+        mlp_nodp = dot(md, w2_ref[:]) + b2_ref[:].astype(jnp.float32)
+        ddp2_ref[:] = rowsum(gf * mlp_nodp)
+        dmlp = gf * dp2_ref[:]
+    else:
+        dmlp = gf
+    dmlp_d = dmlp.astype(dt)
+    dw2_ref[...] += dot_rows(md, dmlp_d)
+    db2_ref[...] += colsum(dmlp)
+    dm = dot_t(dmlp_d, w2_ref[:])                   # (R, 4C)
+    da1 = dm * dg
+    da1_d = da1.astype(dt)
+    dw1_ref[...] += dot_rows(h2d, da1_d)
+    db1_ref[...] += colsum(da1)
+    dh2 = dot_t(da1_d, w1_ref[:])                   # (R, C) f32
+
+    # LN2 backward from the recomputed stats
+    dxhat = dh2 * s2
+    mdx = rowsum(dxhat) * (1.0 / C)
+    mdxx = rowsum(dxhat * xhat) * (1.0 / C)
+    dres1_ln = r * (dxhat - mdx - xhat * mdxx)
+    dln2s_ref[...] += colsum(dh2 * xhat)
+    dln2b_ref[...] += colsum(dh2)
+
+    dres1 = gf + dres1_ln
+    if has_dp:
+        ddp1_ref[:] = rowsum(dres1 * attn_nodp)
+    dres1_ref[:] = dres1
+
+
+def swin_mlp_half_bwd(x2, ctx2, g2, wproj, bproj, ln2s, ln2b, w1, b1, w2,
+                      b2, dp, eps: float = 1e-5, interpret: bool = False):
+    """Fused backward of the Swin block's MLP half (incl. the res1/
+    attn_nodp recompute and LN2 vjp) over flattened rows.
+
+    x2/ctx2/g2: (M, C) in compute dtype; dp: ((M, 1), (M, 1)) f32
+    DropPath multipliers or None.  Returns ``(dres1 (M, C) f32, dw1, db1,
+    dw2, db2, dln2s, dln2b, ddp1, ddp2)`` with weight grads f32 and ddp*
+    None when dp is None."""
+    M, C = x2.shape
+    H = w1.shape[1]
+    # row chunk: ~5 (R, 4C) f32 intermediates live at once; target <=4MB
+    R = 1 << max(6, (49152 // max(C, 1)).bit_length() - 1)
+    while R > 8 and (M % R != 0 or R * H * 4 * 5 > 6 * 1024 * 1024):
+        R //= 2
+
+    grid = (M // R,)
+    row_spec = lambda c: pl.BlockSpec((R, c), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM)
+
+    def const_spec(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def acc_spec(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    b_row = lambda a: a.reshape(1, -1)
+    in_specs = [row_spec(C), row_spec(C), row_spec(C),
+                const_spec(wproj.shape), const_spec((1, C)),
+                const_spec((1, C)), const_spec((1, C)),
+                const_spec(w1.shape), const_spec((1, H)),
+                const_spec(w2.shape), const_spec((1, C))]
+    operands = [x2, ctx2, g2, wproj, b_row(bproj), b_row(ln2s),
+                b_row(ln2b), w1, b_row(b1), w2, b_row(b2)]
+    if dp is not None:
+        in_specs += [row_spec(1), row_spec(1)]
+        operands += [dp[0], dp[1]]
+
+    out_specs = [row_spec(C), acc_spec(w1.shape), acc_spec((1, H)),
+                 acc_spec(w2.shape), acc_spec((1, C)), acc_spec((1, C)),
+                 acc_spec((1, C))]
+    out_shape = [jax.ShapeDtypeStruct((M, C), jnp.float32),
+                 jax.ShapeDtypeStruct(w1.shape, jnp.float32),
+                 jax.ShapeDtypeStruct((1, H), jnp.float32),
+                 jax.ShapeDtypeStruct(w2.shape, jnp.float32),
+                 jax.ShapeDtypeStruct((1, C), jnp.float32),
+                 jax.ShapeDtypeStruct((1, C), jnp.float32),
+                 jax.ShapeDtypeStruct((1, C), jnp.float32)]
+    if dp is not None:
+        out_specs += [row_spec(1), row_spec(1)]
+        out_shape += [jax.ShapeDtypeStruct((M, 1), jnp.float32),
+                      jax.ShapeDtypeStruct((M, 1), jnp.float32)]
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _swin_mlp_bwd_kernel, eps=eps,
+            fast=(x2.dtype == jnp.bfloat16 and not interpret),
+            has_dp=dp is not None),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+    )(*operands)
+    dres1, dw1, db1, dw2, db2, dln2s, dln2b = outs[:7]
+    ddp1 = ddp2 = None
+    if dp is not None:
+        ddp1, ddp2 = outs[7], outs[8]
+    return (dres1, dw1, db1.reshape(-1), dw2, db2.reshape(-1),
+            dln2s.reshape(-1), dln2b.reshape(-1), ddp1, ddp2)
+
+
 def _stored_block_bwd(x, params, bias, dp, qkv, ctx, g, scale, num_heads,
                       interp):
     """Store-residual backward of the whole Swin block.
@@ -1379,58 +1581,70 @@ def _stored_block_bwd(x, params, bias, dp, qkv, ctx, g, scale, num_heads,
     def mm(a, b):
         return jnp.matmul(a, b, preferred_element_type=jnp.float32)
 
+    def ln_f(r, s, bb):
+        return _ln(r, s, bb)
+
     xf = x.reshape(-1, C).astype(jnp.float32)
     gf = g.reshape(-1, C).astype(jnp.float32)
     gd = g.reshape(-1, C).astype(dt)
+    x2d = x.reshape(-1, C)                          # dt
+    g2d = g.reshape(-1, C)
     ctx2 = ctx.reshape(-1, C)                       # dt
     dp1 = dp[0] if dp is not None else None        # (BW*N, 1) f32
     dp2 = dp[1] if dp is not None else None
 
-    # recompute res1 exactly from the saved ctx (one C^2 matmul)
-    attn_nodp = mm(ctx2, wproj) + bproj
-    res1 = xf + (attn_nodp * dp1 if dp1 is not None else attn_nodp)
-
-    # --- MLP half: recompute LN2 + fc1 + GELU (needed for the GELU
-    # derivative); fc2's product is recomputed only when the dp2 grad
-    # needs it.  The forward kernel's bf16 fast path uses tanh-GELU
-    # (_gelu_exact with fast=True); the recompute must match both for
-    # gradient consistency and because exact-erf GELU is an expensive
-    # VPU op at (M, 4C) f32 scale.
-    approx_gelu = dt == jnp.bfloat16 and not interp
-
-    def ln_f(r, s, bb):
-        return _ln(r, s, bb)
-
-    h2f, vjp_ln2 = jax.vjp(ln_f, res1, ln2s, ln2b)
-    h2d = h2f.astype(dt)
-    a1 = mm(h2d, w1) + b1                          # f32 pre-GELU
-    m, vjp_gelu = jax.vjp(
-        lambda a: jax.nn.gelu(a, approximate=approx_gelu), a1)
-    md = m.astype(dt)
-
-    if dp2 is None:
-        dmlp_f, ddp2 = gf, None
+    if dt == jnp.bfloat16 and C <= 448 and (BW * N) % 8 == 0:
+        # fused MLP-half backward kernel (res1 recompute + LN2/fc/GELU
+        # vjp + ddp in VMEM); stage 4 (C=768) exceeds the weight-grad
+        # accumulator VMEM budget and keeps the XLA formulation below
+        dres1, dw1, db1, dw2, db2, dln2s, dln2b, ddp1, ddp2 = \
+            swin_mlp_half_bwd(x2d, ctx2, g2d, wproj, bproj, ln2s, ln2b,
+                              w1, b1, w2, b2, dp, interpret=interp)
+        da = dres1 * dp1 if dp1 is not None else dres1
+        da_d = da.astype(dt)
     else:
-        mlp_nodp = mm(md, w2) + b2
-        ddp2 = (gf * mlp_nodp).sum(-1, keepdims=True)
-        dmlp_f = gf * dp2
-    dmlp_d = dmlp_f.astype(dt)
-    dw2 = mm(md.T, dmlp_d)
-    db2 = dmlp_f.sum(0)
-    dm = mm(dmlp_d, w2.astype(dt).T)
-    (da1,) = vjp_gelu(dm)
-    da1_d = da1.astype(dt)
-    dw1 = mm(h2d.T, da1_d)
-    db1 = da1.sum(0)
-    dh2 = mm(da1_d, w1.astype(dt).T)
-    dres1_ln, dln2s, dln2b = vjp_ln2(dh2)
-    dres1 = gf + dres1_ln
+        # recompute res1 exactly from the saved ctx (one C^2 matmul)
+        attn_nodp = mm(ctx2, wproj) + bproj
+        res1 = xf + (attn_nodp * dp1 if dp1 is not None else attn_nodp)
 
-    # --- attention tail (no recompute at all) ---
-    da = dres1 * dp1 if dp1 is not None else dres1
-    ddp1 = (dres1 * attn_nodp).sum(-1, keepdims=True) \
-        if dp1 is not None else None
-    da_d = da.astype(dt)
+        # --- MLP half: recompute LN2 + fc1 + GELU (needed for the GELU
+        # derivative); fc2's product is recomputed only when the dp2 grad
+        # needs it.  The forward kernel's bf16 fast path uses tanh-GELU
+        # (_gelu_exact with fast=True); the recompute must match both for
+        # gradient consistency and because exact-erf GELU is an expensive
+        # VPU op at (M, 4C) f32 scale.
+        approx_gelu = dt == jnp.bfloat16 and not interp
+
+        h2f, vjp_ln2 = jax.vjp(ln_f, res1, ln2s, ln2b)
+        h2d = h2f.astype(dt)
+        a1 = mm(h2d, w1) + b1                          # f32 pre-GELU
+        m, vjp_gelu = jax.vjp(
+            lambda a: jax.nn.gelu(a, approximate=approx_gelu), a1)
+        md = m.astype(dt)
+
+        if dp2 is None:
+            dmlp_f, ddp2 = gf, None
+        else:
+            mlp_nodp = mm(md, w2) + b2
+            ddp2 = (gf * mlp_nodp).sum(-1, keepdims=True)
+            dmlp_f = gf * dp2
+        dmlp_d = dmlp_f.astype(dt)
+        dw2 = mm(md.T, dmlp_d)
+        db2 = dmlp_f.sum(0)
+        dm = mm(dmlp_d, w2.astype(dt).T)
+        (da1,) = vjp_gelu(dm)
+        da1_d = da1.astype(dt)
+        dw1 = mm(h2d.T, da1_d)
+        db1 = da1.sum(0)
+        dh2 = mm(da1_d, w1.astype(dt).T)
+        dres1_ln, dln2s, dln2b = vjp_ln2(dh2)
+        dres1 = gf + dres1_ln
+
+        # --- attention tail (no recompute at all) ---
+        da = dres1 * dp1 if dp1 is not None else dres1
+        ddp1 = (dres1 * attn_nodp).sum(-1, keepdims=True) \
+            if dp1 is not None else None
+        da_d = da.astype(dt)
     dwproj = mm(ctx2.T, da_d)
     dbproj = da.sum(0)
     dctx = mm(da_d, wproj.astype(dt).T).astype(dt)

@@ -731,3 +731,115 @@ def test_fused_attn_ln_bf16_stored_grad():
             np.testing.assert_allclose(
                 np.asarray(a, np.float32), np.asarray(b),
                 atol=0.15, rtol=0.05)
+
+
+@pytest.mark.quick
+def test_swin_mlp_half_bwd_kernel():
+    """swin_mlp_half_bwd (interpret) == jax.vjp of the XLA MLP-half
+    formulation, with and without DropPath multipliers, incl. ddp."""
+    from mvlt_tpu.ops.pallas_attn import _ln, swin_mlp_half_bwd
+    rng = np.random.default_rng(41)
+    M, C = 64, 32
+    H = 4 * C
+    dt = jnp.bfloat16
+    x2 = jnp.asarray(rng.normal(size=(M, C)) * 0.5, dt)
+    ctx2 = jnp.asarray(rng.normal(size=(M, C)) * 0.5, dt)
+    g2 = jnp.asarray(rng.normal(size=(M, C)), dt)
+    wproj = jnp.asarray(rng.normal(size=(C, C)) * 0.1, dt)
+    bproj = jnp.asarray(rng.normal(size=(C,)) * 0.1, dt)
+    ln2s = jnp.ones((C,), jnp.float32)
+    ln2b = jnp.zeros((C,), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(C, H)) * 0.1, dt)
+    b1 = jnp.asarray(rng.normal(size=(H,)) * 0.1, dt)
+    w2 = jnp.asarray(rng.normal(size=(H, C)) * 0.1, dt)
+    b2 = jnp.asarray(rng.normal(size=(C,)) * 0.1, dt)
+    dpv = (jnp.asarray(rng.random((M, 1)) > 0.3, jnp.float32) / 0.7,
+           jnp.asarray(rng.random((M, 1)) > 0.3, jnp.float32) / 0.7)
+
+    def fwd(res1_in, ln2s, ln2b, w1, b1, w2, b2, dp2):
+        # out = res1 + dp2 * fc2(gelu(fc1(LN2(res1))))
+        h2 = _ln(res1_in, ln2s, ln2b).astype(dt)
+        m = jax.nn.gelu(
+            jnp.matmul(h2, w1, preferred_element_type=jnp.float32)
+            + b1.astype(jnp.float32), approximate=False)
+        mlp = jnp.matmul(m.astype(dt), w2,
+                         preferred_element_type=jnp.float32) \
+            + b2.astype(jnp.float32)
+        if dp2 is not None:
+            mlp = mlp * dp2
+        return res1_in + mlp
+
+    for dp in (None, dpv):
+        dp1 = dp[0] if dp is not None else None
+        attn_nodp = (jnp.matmul(ctx2, wproj,
+                                preferred_element_type=jnp.float32)
+                     + bproj.astype(jnp.float32))
+        res1_in = x2.astype(jnp.float32) + (
+            attn_nodp * dp1 if dp1 is not None else attn_nodp)
+        _, vjp = jax.vjp(
+            lambda r, s, bb, a1, c1, a2, c2: fwd(
+                r, s, bb, a1, c1, a2, c2,
+                dp[1] if dp is not None else None),
+            res1_in, ln2s, ln2b, w1, b1, w2, b2)
+        want = vjp(g2.astype(jnp.float32))
+        w_dres1, w_dln2s, w_dln2b, w_dw1, w_db1, w_dw2, w_db2 = want
+
+        got = swin_mlp_half_bwd(x2, ctx2, g2, wproj, bproj, ln2s, ln2b,
+                                w1, b1, w2, b2, dp, interpret=True)
+        dres1, dw1, db1, dw2, db2, dln2s, dln2b, ddp1, ddp2 = got
+        # tolerance covers the kernel's rational-erf GELU derivative vs
+        # jax.nn.gelu's exact erf on bf16 operands (tail elements of the
+        # (C, 4C) weight grad land ~0.03 apart at 2e-2 nominal)
+        for a, b, tol in [(dres1, w_dres1, 2e-2), (dw1, w_dw1, 5e-2),
+                          (db1, w_db1, 5e-2), (dw2, w_dw2, 5e-2),
+                          (db2, w_db2, 5e-2), (dln2s, w_dln2s, 2e-2),
+                          (dln2b, w_dln2b, 2e-2)]:
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(b, np.float32),
+                                       atol=tol, rtol=tol)
+        if dp is not None:
+            w_ddp2 = (g2.astype(jnp.float32)
+                      * (res1_in + 0
+                         - res1_in
+                         + (fwd(res1_in, ln2s, ln2b, w1, b1, w2, b2, None)
+                            - res1_in))).sum(-1, keepdims=True)
+            np.testing.assert_allclose(np.asarray(ddp2),
+                                       np.asarray(w_ddp2),
+                                       atol=2e-2, rtol=2e-2)
+            w_ddp1 = (np.asarray(dres1) * np.asarray(attn_nodp)).sum(
+                -1, keepdims=True)
+            np.testing.assert_allclose(np.asarray(ddp1), w_ddp1,
+                                       atol=2e-2, rtol=2e-2)
+
+
+@pytest.mark.quick
+def test_full_block_grad_bf16_stored_kernel():
+    """bf16 stored-block backward (the fused MLP-half kernel branch,
+    interpret mode) tracks the f32 XLA whole-block grads within bf16
+    tolerances, with and without DropPath multipliers."""
+    from mvlt_tpu.ops.pallas_attn import _full_ref_fastcore, swin_full_block
+    rng = np.random.default_rng(42)
+    BW, N, C, nH = 4, 16, 32, 4
+    x = jnp.asarray(rng.normal(size=(BW, N, C)) * 0.5, jnp.bfloat16)
+    params = tuple(
+        jnp.asarray(a, jnp.float32 if i in (0, 1, 6, 7) else jnp.bfloat16)
+        for i, a in enumerate(_mk_block_params(rng, C)))
+    bias = jnp.asarray(rng.normal(size=(1, nH, N, N)) * 0.1, jnp.float32)
+    scale = (C // nH) ** -0.5
+    dpv = tuple(
+        jnp.repeat(jnp.asarray(rng.random((BW, 1)) > 0.3,
+                               jnp.float32) / 0.7, N, axis=0)
+        for _ in range(2))
+
+    for dp in (None, dpv):
+        g1 = jax.grad(lambda x, p, b: swin_full_block(
+            x, p, b, scale, nH, interpret=True, dp=dp)
+            .astype(jnp.float32).sum(), argnums=(0, 1, 2))(x, params, bias)
+        g2 = jax.grad(lambda x, p, b: _full_ref_fastcore(
+            x, p, b, dp, scale, nH, True)
+            .astype(jnp.float32).sum(), argnums=(0, 1, 2))(x, params, bias)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(b, np.float32),
+                                       atol=0.12, rtol=0.08)
