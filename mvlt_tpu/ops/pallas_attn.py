@@ -1558,6 +1558,109 @@ def swin_mlp_half_bwd(x2, ctx2, g2, wproj, bproj, ln2s, ln2b, w1, b1, w2,
             dln2s.reshape(-1), dln2b.reshape(-1), ddp1, ddp2)
 
 
+def _swin_qkv_tail_kernel(x_ref, dqkv_ref, dres1_ref, wqkv_ref, ln1s_ref,
+                          ln1b_ref, dx_ref, dwqkv_ref, dbqkv_ref,
+                          dln1s_ref, dln1b_ref, *, eps: float):
+    """Backward tail of the pre-LN Swin block's attention half on a row
+    chunk: LN1 recompute + vjp and the qkv-projection weight/input grads,
+    with weight-grad accumulation across the sequential grid.
+
+    The XLA formulation pays several (M, C)/(M, 3C) f32 elementwise
+    passes through HBM (LN1 recompute, its vjp chain, dtype casts); here
+    they stay in VMEM around the two MXU matmuls."""
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dwqkv_ref[...] = jnp.zeros_like(dwqkv_ref)
+        dbqkv_ref[...] = jnp.zeros_like(dbqkv_ref)
+        dln1s_ref[...] = jnp.zeros_like(dln1s_ref)
+        dln1b_ref[...] = jnp.zeros_like(dln1b_ref)
+
+    R, C = x_ref.shape
+    dt = x_ref.dtype
+    ones_c = jnp.ones((C, 1), jnp.float32)
+    ones_r = jnp.ones((R, 1), jnp.float32)
+
+    def rowsum(a):
+        return jax.lax.dot_general(a, ones_c, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def colsum(a):
+        return jax.lax.dot_general(ones_r, a, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def dot_t(a, b):                    # (R, K) @ (L, K)^T
+        return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def dot_rows(a, b):                 # (R, K)^T @ (R, L)
+        return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    xf = x_ref[:].astype(jnp.float32)
+    mu = rowsum(xf) * (1.0 / C)
+    var = rowsum(xf * xf) * (1.0 / C) - mu * mu
+    r = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mu) * r
+    s1 = ln1s_ref[:].astype(jnp.float32)
+    # h1 = LN1(x) in dt for the weight-grad matmul (matches forward)
+    h1d = (xhat * s1 + ln1b_ref[:].astype(jnp.float32)).astype(dt)
+
+    dqkv_d = dqkv_ref[:].astype(dt)
+    dwqkv_ref[...] += dot_rows(h1d, dqkv_d)
+    dbqkv_ref[...] += colsum(dqkv_ref[:].astype(jnp.float32))
+    dh1 = dot_t(dqkv_d, wqkv_ref[:])    # (R, C) f32
+
+    dxhat = dh1 * s1
+    mdx = rowsum(dxhat) * (1.0 / C)
+    mdxx = rowsum(dxhat * xhat) * (1.0 / C)
+    dx_ln = r * (dxhat - mdx - xhat * mdxx)
+    dln1s_ref[...] += colsum(dh1 * xhat)
+    dln1b_ref[...] += colsum(dh1)
+
+    dx_ref[:] = (dres1_ref[:] + dx_ln).astype(dx_ref.dtype)
+
+
+def swin_qkv_tail_bwd(x2, dqkv2, dres1, wqkv, ln1s, ln1b,
+                      eps: float = 1e-5, interpret: bool = False):
+    """Fused backward of the qkv head of the pre-LN Swin block.
+
+    x2: (M, C) dt; dqkv2: (M, 3C) any float; dres1: (M, C) f32.
+    Returns ``(dx (M, C) dt, dwqkv, dbqkv, dln1s, dln1b)`` f32 grads."""
+    M, C = x2.shape
+    C3 = dqkv2.shape[1]
+    R = 1 << max(6, (49152 // max(C, 1)).bit_length() - 1)
+    while R > 8 and M % R != 0:
+        R //= 2
+
+    grid = (M // R,)
+    row_spec = lambda c: pl.BlockSpec((R, c), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM)
+
+    def const_spec(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        functools.partial(_swin_qkv_tail_kernel, eps=eps),
+        grid=grid,
+        in_specs=[row_spec(C), row_spec(C3), row_spec(C),
+                  const_spec(wqkv.shape), const_spec((1, C)),
+                  const_spec((1, C))],
+        out_specs=(row_spec(C), const_spec(wqkv.shape),
+                   const_spec((1, C3)), const_spec((1, C)),
+                   const_spec((1, C))),
+        out_shape=(jax.ShapeDtypeStruct((M, C), x2.dtype),
+                   jax.ShapeDtypeStruct(wqkv.shape, jnp.float32),
+                   jax.ShapeDtypeStruct((1, C3), jnp.float32),
+                   jax.ShapeDtypeStruct((1, C), jnp.float32),
+                   jax.ShapeDtypeStruct((1, C), jnp.float32)),
+        interpret=interpret,
+    )(x2, dqkv2, dres1, wqkv, ln1s.reshape(1, -1), ln1b.reshape(1, -1))
+    dx, dwqkv, dbqkv, dln1s, dln1b = outs
+    return (dx, dwqkv, dbqkv.reshape(-1), dln1s.reshape(-1),
+            dln1b.reshape(-1))
+
+
 def _stored_block_bwd(x, params, bias, dp, qkv, ctx, g, scale, num_heads,
                       interp):
     """Store-residual backward of the whole Swin block.
@@ -1657,14 +1760,21 @@ def _stored_block_bwd(x, params, bias, dp, qkv, ctx, g, scale, num_heads,
     dQKV2_d = dQKV2.astype(dt)
 
     # --- qkv head: recompute LN1 (elementwise) ---
-    h1f, vjp_ln1 = jax.vjp(ln_f, xf, ln1s, ln1b)
-    h1d = h1f.astype(dt)
-    dwqkv = mm(h1d.T, dQKV2_d)
-    dbqkv = dQKV2.astype(jnp.float32).sum(0)
-    dh1 = mm(dQKV2_d, wqkv.astype(dt).T)
-    dx_h, dln1s, dln1b = vjp_ln1(dh1)
+    if dt == jnp.bfloat16 and C <= 448 and (BW * N) % 8 == 0:
+        # fused tail kernel: LN1 recompute/vjp + qkv weight/input grads
+        # stay in VMEM (same gate as the MLP-half kernel above)
+        dx2, dwqkv, dbqkv, dln1s, dln1b = swin_qkv_tail_bwd(
+            x2d, dQKV2, dres1, wqkv, ln1s, ln1b, interpret=interp)
+        dx = dx2.reshape(BW, N, C)
+    else:
+        h1f, vjp_ln1 = jax.vjp(ln_f, xf, ln1s, ln1b)
+        h1d = h1f.astype(dt)
+        dwqkv = mm(h1d.T, dQKV2_d)
+        dbqkv = dQKV2.astype(jnp.float32).sum(0)
+        dh1 = mm(dQKV2_d, wqkv.astype(dt).T)
+        dx_h, dln1s, dln1b = vjp_ln1(dh1)
 
-    dx = (dres1 + dx_h).reshape(BW, N, C).astype(dt)
+        dx = (dres1 + dx_h).reshape(BW, N, C).astype(dt)
     dparams = (dln1s.astype(ln1s.dtype), dln1b.astype(ln1b.dtype),
                dwqkv.astype(wqkv.dtype), dbqkv.astype(bqkv.dtype),
                dwproj.astype(wproj.dtype), dbproj.astype(bproj.dtype),
@@ -2472,6 +2582,184 @@ def _mlp_ln_fwd(x, w1, b1, w2, b2, lns, lnb, eps, rows, interpret):
     return out, (x, w1, b1, w2, b2, None, lns, lnb, res_sum)
 
 
+def _mlp_ln_bwd_kernel(x_ref, res_ref, g_ref, w1_ref, b1_ref, w2_ref,
+                       lns_ref, *rest, eps: float, fast: bool,
+                       has_hmask: bool):
+    """Backward of the post-LN BERT MLP half on a (row chunk, H chunk)
+    grid cell, with weight-grad accumulation across the sequential grid.
+
+    Grid is (J, I) = (H chunks, row chunks) with rows innermost, so each
+    (C, Hc)/(Hc, C) weight-grad block stays VMEM-resident for a whole
+    row sweep and is written to HBM once.  The (R, Hc) f32 intermediates
+    (pre-GELU, GELU value/derivative, cotangents) that the XLA
+    formulation round-trips through HBM live and die in VMEM.  dx is
+    revisited across H chunks (J extra (R, C) f32 round trips — small
+    next to the (M, 4C) intermediates saved).  LN backward runs from the
+    saved pre-LN sum; per-H-chunk recompute of it is elementwise."""
+    rest = list(rest)
+    hmask_ref = rest.pop(0) if has_hmask else None
+    (dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dlns_ref,
+     dlnb_ref) = rest
+
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init_w():
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _init_c():
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+        dlns_ref[...] = jnp.zeros_like(dlns_ref)
+        dlnb_ref[...] = jnp.zeros_like(dlnb_ref)
+
+    R, C = x_ref.shape
+    dt = x_ref.dtype
+    ones_c = jnp.ones((C, 1), jnp.float32)
+    ones_r = jnp.ones((R, 1), jnp.float32)
+
+    def rowsum(a):                      # (R, C) -> (R, 1), MXU matvec
+        return jax.lax.dot_general(a, ones_c, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def colsum(a):                      # (R, K) -> (1, K), MXU matvec
+        return jax.lax.dot_general(ones_r, a, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def dot(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def dot_t(a, b):                    # (R, K) @ (L, K)^T
+        return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def dot_rows(a, b):                 # (R, K)^T @ (R, L)
+        return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    gf = g_ref[:].astype(jnp.float32)
+    res = res_ref[:]
+
+    # LN backward from the saved pre-LN sum (recomputed per H chunk —
+    # elementwise + matvec moments, cheap next to the chunk matmuls)
+    mu = rowsum(res) * (1.0 / C)
+    var = rowsum(res * res) * (1.0 / C) - mu * mu
+    r = jax.lax.rsqrt(var + eps)
+    xhat = (res - mu) * r
+    dxhat = gf * lns_ref[:].astype(jnp.float32)
+    mdx = rowsum(dxhat) * (1.0 / C)
+    mdxx = rowsum(dxhat * xhat) * (1.0 / C)
+    dres = r * (dxhat - mdx - xhat * mdxx)
+
+    dmlp = dres * hmask_ref[:].astype(jnp.float32) if has_hmask else dres
+    dmlp_d = dmlp.astype(dt)
+
+    @pl.when(j == 0)
+    def _ln_grads():
+        db2_ref[...] += colsum(dmlp)
+        dlns_ref[...] += colsum(gf * xhat)
+        dlnb_ref[...] += colsum(gf)
+
+    # fc1 + GELU recompute on this H chunk
+    a1 = dot(x_ref[:], w1_ref[:]) + b1_ref[:].astype(jnp.float32)
+    m, dg = _gelu_grad(a1, fast)
+    md = m.astype(dt)
+
+    dw2_ref[...] += dot_rows(md, dmlp_d)
+    dm = dot_t(dmlp_d, w2_ref[:])                   # (R, Hc) f32
+    da1 = dm * dg
+    da1_d = da1.astype(dt)
+    dw1_ref[...] += dot_rows(x_ref[:], da1_d)
+    db1_ref[...] += colsum(da1)
+    dxg = dot_t(da1_d, w1_ref[:])                   # (R, C) f32
+
+    @pl.when(j == 0)
+    def _dx_first():
+        dx_ref[:] = dres + dxg
+
+    @pl.when(j != 0)
+    def _dx_acc():
+        dx_ref[:] += dxg
+
+
+def mlp_ln_half_bwd(x2, res2, g2, hmask2, w1, b1, w2, lns,
+                    eps: float = 1e-12, interpret: bool = False,
+                    h_chunk: int = 0):
+    """Fused backward of the post-LN BERT MLP half (LN vjp from the saved
+    pre-LN sum + fc1/GELU/fc2 vjp) over flattened rows, H-chunked so
+    BERT-base (C=768, H=3072) weight-grad accumulators fit VMEM.
+
+    x2/g2/hmask2: (M, C) compute dtype; res2: (M, C) f32 saved pre-LN
+    sum.  Returns ``(dx (M, C) f32 — includes the residual dres term,
+    dw1, db1, dw2, db2, dlns, dlnb)`` with weight grads f32."""
+    M, C = x2.shape
+    H = w1.shape[1]
+    Hc = h_chunk or H
+    while Hc > 128 and (H % Hc != 0 or C * Hc * 4 * 2 > 5 * 1024 * 1024):
+        Hc //= 2
+    R = 128
+    M_pad = -(-M // R) * R
+    if M_pad != M:
+        # zero-padded g rows contribute exactly zero to every grad
+        pad = ((0, M_pad - M), (0, 0))
+        x2, g2, res2 = (jnp.pad(a, pad) for a in (x2, g2, res2))
+        if hmask2 is not None:
+            hmask2 = jnp.pad(hmask2, pad)
+
+    grid = (H // Hc, M_pad // R)
+    row_spec = lambda c: pl.BlockSpec((R, c), lambda j, i: (i, 0),
+                                      memory_space=pltpu.VMEM)
+    in_specs = [row_spec(C), row_spec(C), row_spec(C),
+                pl.BlockSpec((C, Hc), lambda j, i: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hc), lambda j, i: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Hc, C), lambda j, i: (j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, C), lambda j, i: (0, 0),
+                             memory_space=pltpu.VMEM)]
+    operands = [x2, res2, g2, w1, b1.reshape(1, -1), w2,
+                lns.reshape(1, -1)]
+    if hmask2 is not None:
+        in_specs.append(row_spec(C))
+        operands.append(hmask2)
+
+    cvec = pl.BlockSpec((1, C), lambda j, i: (0, 0),
+                        memory_space=pltpu.VMEM)
+    out_specs = (row_spec(C),
+                 pl.BlockSpec((C, Hc), lambda j, i: (0, j),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, Hc), lambda j, i: (0, j),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((Hc, C), lambda j, i: (j, 0),
+                              memory_space=pltpu.VMEM),
+                 cvec, cvec, cvec)
+    out_shape = (jax.ShapeDtypeStruct((M_pad, C), jnp.float32),
+                 jax.ShapeDtypeStruct((C, H), jnp.float32),
+                 jax.ShapeDtypeStruct((1, H), jnp.float32),
+                 jax.ShapeDtypeStruct((H, C), jnp.float32),
+                 jax.ShapeDtypeStruct((1, C), jnp.float32),
+                 jax.ShapeDtypeStruct((1, C), jnp.float32),
+                 jax.ShapeDtypeStruct((1, C), jnp.float32))
+    dx, dw1, db1, dw2, db2, dlns, dlnb = pl.pallas_call(
+        functools.partial(
+            _mlp_ln_bwd_kernel, eps=eps,
+            fast=(x2.dtype == jnp.bfloat16 and not interpret),
+            has_hmask=hmask2 is not None),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*operands)
+    return (dx[:M], dw1, db1.reshape(-1), dw2, db2.reshape(-1),
+            dlns.reshape(-1), dlnb.reshape(-1))
+
+
 def _mlp_ln_bwd_stored(eps, interpret, res, g):
     """Store-residual backward of the post-LN MLP half: LN statistics
     come from the saved pre-LN sum; the only recompute is fc1+GELU (one
@@ -2486,6 +2774,19 @@ def _mlp_ln_bwd_stored(eps, interpret, res, g):
     g2 = g.reshape(-1, C)
     res2 = res_sum[:M]
 
+    if dt == jnp.bfloat16:
+        # fused backward kernel: LN vjp + fc1/GELU/fc2 vjp with the
+        # (M, 4C) f32 intermediates VMEM-resident (H-chunked grid)
+        h2 = hmask.reshape(-1, C) if hmask is not None else None
+        dx2, dw1, db1, dw2, db2, dlns, dlnb = mlp_ln_half_bwd(
+            x2, res2, g2, h2, w1, b1, w2, lns, eps=eps,
+            interpret=interpret)
+        dx = dx2.astype(dt).reshape(shape)
+        out = (dx, dw1.astype(w1.dtype), db1.astype(b1.dtype),
+               dw2.astype(w2.dtype), db2.astype(b2.dtype))
+        dh = None if hmask is None else jnp.zeros_like(hmask)
+        return out, dh, dlns.astype(lns.dtype), dlnb.astype(lnb.dtype)
+
     def ln_piece(res_f, lns, lnb):
         return _ln(res_f, lns, lnb, eps=eps).astype(dt)
 
@@ -2495,37 +2796,15 @@ def _mlp_ln_bwd_stored(eps, interpret, res, g):
     dmlp = dres * hmask.reshape(-1, C).astype(jnp.float32) \
         if hmask is not None else dres
 
-    approx_gelu = dt == jnp.bfloat16 and not interpret
+    def fc_piece(x2, w1, b1, w2, b2):
+        m = jax.nn.gelu(
+            jnp.matmul(x2, w1, preferred_element_type=jnp.float32) + b1,
+            approximate=False)
+        return jnp.matmul(m.astype(dt), w2,
+                          preferred_element_type=jnp.float32) + b2
 
-    if dt == jnp.bfloat16:
-        # hand-written mixed-precision backward (see _attn_ln_bwd_stored):
-        # matmuls in bf16 with f32 accumulation, GELU derivative in f32
-        def mm(a, b):
-            return jnp.matmul(a, b, preferred_element_type=jnp.float32)
-
-        a1 = mm(x2, w1) + b1
-        m, vjp_gelu = jax.vjp(
-            lambda a: jax.nn.gelu(a, approximate=approx_gelu), a1)
-        md = m.astype(dt)
-        dmlp_d = dmlp.astype(dt)
-        dw2 = mm(md.T, dmlp_d)
-        db2 = dmlp.sum(0)
-        dm = mm(dmlp_d, w2.astype(dt).T)
-        (da1,) = vjp_gelu(dm)
-        da1_d = da1.astype(dt)
-        dw1 = mm(x2.T, da1_d)
-        db1 = da1.sum(0)
-        dx2 = mm(da1_d, w1.astype(dt).T)
-    else:
-        def fc_piece(x2, w1, b1, w2, b2):
-            m = jax.nn.gelu(
-                jnp.matmul(x2, w1, preferred_element_type=jnp.float32) + b1,
-                approximate=approx_gelu)
-            return jnp.matmul(m.astype(dt), w2,
-                              preferred_element_type=jnp.float32) + b2
-
-        _, vjp_fc = jax.vjp(fc_piece, x2, w1, b1, w2, b2)
-        dx2, dw1, db1, dw2, db2 = vjp_fc(dmlp)
+    _, vjp_fc = jax.vjp(fc_piece, x2, w1, b1, w2, b2)
+    dx2, dw1, db1, dw2, db2 = vjp_fc(dmlp)
 
     dx = (dx2.astype(jnp.float32) + dres).astype(dt).reshape(shape)
     out = (dx, dw1.astype(w1.dtype), db1.astype(b1.dtype),

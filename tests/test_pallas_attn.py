@@ -843,3 +843,136 @@ def test_full_block_grad_bf16_stored_kernel():
             np.testing.assert_allclose(np.asarray(a, np.float32),
                                        np.asarray(b, np.float32),
                                        atol=0.12, rtol=0.08)
+
+
+@pytest.mark.quick
+def test_mlp_ln_half_bwd_kernel():
+    """mlp_ln_half_bwd (interpret, multi-H-chunk grid) == jax.vjp of the
+    post-LN MLP-half formulation, with and without the hidden-dropout
+    mask, bf16 operands."""
+    from mvlt_tpu.ops.pallas_attn import _ln, mlp_ln_half_bwd
+    rng = np.random.default_rng(47)
+    M, C = 48, 32          # M forces row padding (48 -> 128)
+    H = 4 * C
+    dt = jnp.bfloat16
+    x2 = jnp.asarray(rng.normal(size=(M, C)) * 0.5, dt)
+    g2 = jnp.asarray(rng.normal(size=(M, C)), dt)
+    w1 = jnp.asarray(rng.normal(size=(C, H)) * 0.1, dt)
+    b1 = jnp.asarray(rng.normal(size=(H,)) * 0.1, dt)
+    w2 = jnp.asarray(rng.normal(size=(H, C)) * 0.1, dt)
+    b2 = jnp.asarray(rng.normal(size=(C,)) * 0.1, dt)
+    lns = jnp.asarray(rng.normal(size=(C,)) * 0.1 + 1.0, jnp.float32)
+    lnb = jnp.asarray(rng.normal(size=(C,)) * 0.1, jnp.float32)
+    hm = (jnp.asarray(rng.random((M, C)) > 0.1, dt) / dt(0.9))
+
+    def fwd(x2f, w1, b1, w2, b2, lns, lnb, hmask):
+        m = jax.nn.gelu(
+            jnp.matmul(x2f.astype(dt), w1,
+                       preferred_element_type=jnp.float32)
+            + b1.astype(jnp.float32), approximate=False)
+        out = jnp.matmul(m.astype(dt), w2,
+                         preferred_element_type=jnp.float32) \
+            + b2.astype(jnp.float32)
+        if hmask is not None:
+            out = out * hmask.astype(jnp.float32)
+        res = out + x2f
+        return _ln(res, lns, lnb, eps=1e-12), res
+
+    for hmask in (None, hm):
+        x2f = x2.astype(jnp.float32)
+        (_, res2), vjp = jax.vjp(
+            lambda x_, w1_, b1_, w2_, b2_, s_, b_: fwd(
+                x_, w1_, b1_, w2_, b2_, s_, b_, hmask),
+            x2f, w1, b1, w2, b2, lns, lnb, has_aux=False)
+        want = vjp((g2.astype(jnp.float32), jnp.zeros_like(res2)))
+        w_dx, w_dw1, w_db1, w_dw2, w_db2, w_dlns, w_dlnb = want
+
+        for hc in (0, H // 4):     # auto (single chunk) and 4-chunk grid
+            got = mlp_ln_half_bwd(x2, res2, g2, hmask, w1, b1, w2, lns,
+                                  eps=1e-12, interpret=True, h_chunk=hc)
+            dx, dw1, db1, dw2, db2, dlns, dlnb = got
+            for a, b, tol in [(dx, w_dx, 3e-2), (dw1, w_dw1, 5e-2),
+                              (db1, w_db1, 5e-2), (dw2, w_dw2, 5e-2),
+                              (db2, w_db2, 5e-2), (dlns, w_dlns, 3e-2),
+                              (dlnb, w_dlnb, 3e-2)]:
+                np.testing.assert_allclose(
+                    np.asarray(a, np.float32), np.asarray(b, np.float32),
+                    atol=tol, rtol=tol)
+
+
+@pytest.mark.quick
+def test_fused_mlp_ln_bf16_grad_kernel():
+    """bf16 grads of fused_mlp_ln / fused_mlp_ln_masked (which now route
+    through the mlp_ln_half_bwd kernel) track the f32 XLA reference."""
+    from mvlt_tpu.ops.pallas_attn import _mlp_ln_xla_ref, fused_mlp_ln, \
+        fused_mlp_ln_masked
+    rng = np.random.default_rng(48)
+    B, N, C = 2, 16, 32
+    dt = jnp.bfloat16
+    x = jnp.asarray(rng.normal(size=(B, N, C)) * 0.5, dt)
+    w1 = jnp.asarray(rng.normal(size=(C, 4 * C)) * 0.1, dt)
+    b1 = jnp.zeros((4 * C,), dt)
+    w2 = jnp.asarray(rng.normal(size=(4 * C, C)) * 0.1, dt)
+    b2 = jnp.zeros((C,), dt)
+    lns, lnb = jnp.ones((C,), jnp.float32), jnp.zeros((C,), jnp.float32)
+    hmask = (jnp.asarray(rng.random((B, N, C)) > 0.1, dt) / dt(0.9))
+
+    xf = x.astype(jnp.float32)
+
+    ga = jax.grad(lambda x_, w1_, w2_: fused_mlp_ln(
+        x_, w1_, b1, w2_, b2, lns, lnb, 1e-12, 16, True)
+        .astype(jnp.float32).sum(), argnums=(0, 1, 2))(x, w1, w2)
+    gb = jax.grad(lambda x_, w1_, w2_: _mlp_ln_xla_ref(
+        x_, w1_, b1.astype(jnp.float32), w2_, b2.astype(jnp.float32),
+        lns, lnb, 1e-12).sum(), argnums=(0, 1, 2))(
+            xf, w1.astype(jnp.float32), w2.astype(jnp.float32))
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b), atol=5e-2, rtol=5e-2)
+
+    ga = jax.grad(lambda x_, w1_: fused_mlp_ln_masked(
+        x_, w1_, b1, w2, b2, hmask, lns, lnb, 1e-12, 16, True)
+        .astype(jnp.float32).sum(), argnums=(0, 1))(x, w1)
+    gb = jax.grad(lambda x_, w1_: _mlp_ln_xla_ref(
+        x_, w1_, b1.astype(jnp.float32), w2.astype(jnp.float32),
+        b2.astype(jnp.float32), lns, lnb, 1e-12,
+        hmask.astype(jnp.float32)).sum(), argnums=(0, 1))(
+            xf, w1.astype(jnp.float32))
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b), atol=5e-2, rtol=5e-2)
+
+
+@pytest.mark.quick
+def test_swin_qkv_tail_bwd_kernel():
+    """swin_qkv_tail_bwd (interpret) == jax.vjp of the qkv-head XLA
+    formulation (LN1 + qkv projection), plus the dres1 passthrough."""
+    from mvlt_tpu.ops.pallas_attn import _ln, swin_qkv_tail_bwd
+    rng = np.random.default_rng(51)
+    M, C = 64, 32
+    dt = jnp.bfloat16
+    x2 = jnp.asarray(rng.normal(size=(M, C)) * 0.5, dt)
+    dqkv = jnp.asarray(rng.normal(size=(M, 3 * C)), jnp.float32)
+    dres1 = jnp.asarray(rng.normal(size=(M, C)), jnp.float32)
+    wqkv = jnp.asarray(rng.normal(size=(C, 3 * C)) * 0.1, dt)
+    ln1s = jnp.asarray(rng.normal(size=(C,)) * 0.1 + 1.0, jnp.float32)
+    ln1b = jnp.asarray(rng.normal(size=(C,)) * 0.1, jnp.float32)
+
+    def qkv_head(xf, wqkv, ln1s, ln1b):
+        h1 = _ln(xf, ln1s, ln1b).astype(dt)
+        return jnp.matmul(h1, wqkv, preferred_element_type=jnp.float32)
+
+    xf = x2.astype(jnp.float32)
+    _, vjp = jax.vjp(qkv_head, xf, wqkv, ln1s, ln1b)
+    w_dx_h, w_dwqkv, w_dln1s, w_dln1b = vjp(dqkv)
+    w_dx = w_dx_h + dres1
+    w_dbqkv = dqkv.sum(0)
+
+    dx, dwqkv, dbqkv, dln1s, dln1b = swin_qkv_tail_bwd(
+        x2, dqkv, dres1, wqkv, ln1s, ln1b, interpret=True)
+    for a, b, tol in [(dx, w_dx, 3e-2), (dwqkv, w_dwqkv, 5e-2),
+                      (dbqkv, w_dbqkv, 1e-3), (dln1s, w_dln1s, 3e-2),
+                      (dln1b, w_dln1b, 3e-2)]:
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   atol=tol, rtol=tol)
