@@ -2677,13 +2677,18 @@ def _mlp_ln_bwd_kernel(x_ref, res_ref, g_ref, w1_ref, b1_ref, w2_ref,
     db1_ref[...] += colsum(da1)
     dxg = dot_t(da1_d, w1_ref[:])                   # (R, C) f32
 
+    # dx partials: each (j, i) cell writes its own block exactly once
+    # (Pallas only guarantees output-block revisits across CONSECUTIVE
+    # grid steps; dx blocks would be revisited non-consecutively across
+    # H chunks). The caller sums the J partials; the dres term rides
+    # the j == 0 partial.
     @pl.when(j == 0)
     def _dx_first():
         dx_ref[:] = dres + dxg
 
     @pl.when(j != 0)
-    def _dx_acc():
-        dx_ref[:] += dxg
+    def _dx_rest():
+        dx_ref[:] = dxg
 
 
 def mlp_ln_half_bwd(x2, res2, g2, hmask2, w1, b1, w2, lns,
@@ -2710,9 +2715,13 @@ def mlp_ln_half_bwd(x2, res2, g2, hmask2, w1, b1, w2, lns,
         if hmask2 is not None:
             hmask2 = jnp.pad(hmask2, pad)
 
-    grid = (H // Hc, M_pad // R)
+    J, I = H // Hc, M_pad // R
+    grid = (J, I)
     row_spec = lambda c: pl.BlockSpec((R, c), lambda j, i: (i, 0),
                                       memory_space=pltpu.VMEM)
+    # dx partials: one distinct (R, C) block per (j, i) grid cell
+    dx_spec = pl.BlockSpec((R, C), lambda j, i: (j * I + i, 0),
+                           memory_space=pltpu.VMEM)
     in_specs = [row_spec(C), row_spec(C), row_spec(C),
                 pl.BlockSpec((C, Hc), lambda j, i: (0, j),
                              memory_space=pltpu.VMEM),
@@ -2730,7 +2739,7 @@ def mlp_ln_half_bwd(x2, res2, g2, hmask2, w1, b1, w2, lns,
 
     cvec = pl.BlockSpec((1, C), lambda j, i: (0, 0),
                         memory_space=pltpu.VMEM)
-    out_specs = (row_spec(C),
+    out_specs = (dx_spec,
                  pl.BlockSpec((C, Hc), lambda j, i: (0, j),
                               memory_space=pltpu.VMEM),
                  pl.BlockSpec((1, Hc), lambda j, i: (0, j),
@@ -2738,7 +2747,7 @@ def mlp_ln_half_bwd(x2, res2, g2, hmask2, w1, b1, w2, lns,
                  pl.BlockSpec((Hc, C), lambda j, i: (j, 0),
                               memory_space=pltpu.VMEM),
                  cvec, cvec, cvec)
-    out_shape = (jax.ShapeDtypeStruct((M_pad, C), jnp.float32),
+    out_shape = (jax.ShapeDtypeStruct((J * M_pad, C), jnp.float32),
                  jax.ShapeDtypeStruct((C, H), jnp.float32),
                  jax.ShapeDtypeStruct((1, H), jnp.float32),
                  jax.ShapeDtypeStruct((H, C), jnp.float32),
@@ -2756,6 +2765,7 @@ def mlp_ln_half_bwd(x2, res2, g2, hmask2, w1, b1, w2, lns,
         out_shape=out_shape,
         interpret=interpret,
     )(*operands)
+    dx = dx.reshape(J, M_pad, C).sum(0) if J > 1 else dx
     return (dx[:M], dw1, db1.reshape(-1), dw2, db2.reshape(-1),
             dlns.reshape(-1), dlnb.reshape(-1))
 
