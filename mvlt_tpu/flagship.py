@@ -97,6 +97,7 @@ def dryrun_multichip(n_devices: int) -> None:
     variables = model.init(jax.random.PRNGKey(0), batch["image"],
                            batch["caption_masked"], batch["caption_label"],
                            batch["itm_label"])
+    variables2 = jax.tree.map(jnp.array, variables)
     state = create_train_state(model, variables, make_optimizer(cfg))
     state, shardings = shard_train_state(state, mesh)
     step = make_pretrain_step(model, seq2seq=False, mesh=mesh,
@@ -106,3 +107,20 @@ def dryrun_multichip(n_devices: int) -> None:
     loss = float(metrics["loss"])
     assert np.isfinite(loss), f"non-finite loss {loss}"
     assert int(state.step) == 1
+
+    # Also exercise the DP-only shard_map fast path (the partitioning
+    # mode that keeps Mosaic kernels enabled on real multi-chip meshes).
+    mesh_dp = build_mesh(MeshConfig(), devices=devices)
+    state2 = create_train_state(model, variables2, make_optimizer(cfg))
+    state2, shardings2 = shard_train_state(state2, mesh_dp)
+    B2 = max(2, n_devices)
+    batch2 = {k: (np.repeat(np.asarray(v), -(-B2 // v.shape[0]),
+                            axis=0)[:B2])
+              for k, v in batch.items()}
+    step2 = make_pretrain_step(model, seq2seq=False, mesh=mesh_dp,
+                               state_shardings=shardings2)
+    state2, metrics2 = step2(state2, step2.shard_batch(batch2),
+                             jax.random.PRNGKey(1))
+    loss2 = float(metrics2["loss"])
+    assert np.isfinite(loss2), f"non-finite shard_map loss {loss2}"
+    assert int(state2.step) == 1

@@ -41,6 +41,14 @@ from mvlt_tpu.ops.layers import DropPath, Mlp, trunc_normal_init
 
 Dtype = Any
 
+def _tpu_native_ok() -> bool:
+    """Native Mosaic kernels are usable: TPU backend AND not inside a
+    GSPMD-auto-partitioned multi-device trace (ops.policy — Mosaic calls
+    cannot be auto-partitioned; shard_map-wrapped steps keep kernels)."""
+    from mvlt_tpu.ops import policy
+    return jax.default_backend() == "tpu" and not policy.gspmd_auto_partition()
+
+
 
 @functools.lru_cache(maxsize=None)
 def relative_position_index(wh: int, ww: int) -> np.ndarray:
@@ -167,7 +175,7 @@ class WindowAttention(nn.Module):
             # kernel loses to XLA's fusion and stays opt-in ('pallas').
             # Attention dropout can't run inside the kernel -> XLA then.
             drop_active = self.attn_drop > 0.0 and not deterministic
-            impl = ("pallas_block" if jax.default_backend() == "tpu"
+            impl = ("pallas_block" if _tpu_native_ok()
                     and not drop_active else "xla")
 
         if impl in ("pallas_block", "interpret_block") \
@@ -254,7 +262,7 @@ class SwinBlock(nn.Module):
         weights_fit = 12 * C * C * 2 <= 12 * 1024 * 1024
         full_ok = not self.is_initializing() and deterministic and (
             impl == "interpret_full"
-            or (impl == "auto" and jax.default_backend() == "tpu"
+            or (impl == "auto" and _tpu_native_ok()
                 and weights_fit))
         if full_ok:
             return self._fused_full_block(x, window, shift,
@@ -267,7 +275,7 @@ class SwinBlock(nn.Module):
         train_ok = not self.is_initializing() and not deterministic and (
             self.drop == 0.0 and self.attn_drop == 0.0) and (
             impl == "interpret_full"
-            or (impl == "auto" and jax.default_backend() == "tpu"
+            or (impl == "auto" and _tpu_native_ok()
                 and weights_fit))
         if train_ok:
             dp = None
@@ -288,7 +296,7 @@ class SwinBlock(nn.Module):
         # its residual boundaries (attn half 4C^2, MLP half 8C^2 weights).
         half_ok = not self.is_initializing() and deterministic and (
             impl == "interpret_half"
-            or (impl == "auto" and jax.default_backend() == "tpu"
+            or (impl == "auto" and _tpu_native_ok()
                 and not weights_fit and 8 * C * C * 2 <= 12 * 1024 * 1024))
         if half_ok:
             return self._fused_half_blocks(

@@ -33,6 +33,13 @@ from mvlt_tpu.ops import masks as mask_lib
 from mvlt_tpu.ops.attention import multi_head_attention
 from mvlt_tpu.ops.layers import gelu_exact, normal_init
 
+def _tpu_native_ok() -> bool:
+    """Native Mosaic kernels are usable: TPU backend AND not inside a
+    GSPMD-auto-partitioned multi-device trace (ops.policy)."""
+    from mvlt_tpu.ops import policy
+    return jax.default_backend() == "tpu" and not policy.gspmd_auto_partition()
+
+
 
 @dataclasses.dataclass
 class FusionOutput:
@@ -106,7 +113,7 @@ class SelfAttention(nn.Module):
         if (cache_kv is None and fusable_bias and not need_kv
                 and not self.is_initializing()
                 and not os.environ.get("MVLT_NO_FUSED_ENCODER")
-                and (jax.default_backend() == "tpu" or force)):
+                and (_tpu_native_ok() or force)):
             from mvlt_tpu.ops.pallas_attn import (fused_attn_ln,
                                                   fused_attn_ln_masked)
             interp = force and jax.default_backend() != "tpu"
@@ -205,7 +212,7 @@ class EncoderLayer(nn.Module):
         if (cache_kv is None
                 and not self.is_initializing()
                 and not os.environ.get("MVLT_NO_FUSED_ENCODER")
-                and (jax.default_backend() == "tpu" or force)):
+                and (_tpu_native_ok() or force)):
             from mvlt_tpu.ops.pallas_attn import (fused_mlp_ln,
                                                   fused_mlp_ln_masked)
             interp = force and jax.default_backend() != "tpu"

@@ -37,12 +37,24 @@ def seq2seq_coin_flip(rng: jax.Array) -> bool:
 def make_train_step(loss_fn: Callable[[Any, Any, Batch, jax.Array], Any],
                     mesh: Optional[Mesh] = None,
                     state_shardings: Any = None,
-                    donate: bool = True):
+                    donate: bool = True,
+                    use_shard_map: Optional[bool] = None):
     """Build the compiled step.
 
     ``loss_fn(params, extra_variables, batch, rng) -> (loss, (metrics,
     new_extra))``.  With a mesh, inputs are constrained to P('data') on the
     leading axis and the state to its param shardings.
+
+    Partitioning strategy (Mosaic kernels cannot be auto-partitioned by
+    GSPMD — see ``ops/policy.py``):
+
+    - **data-parallel-only meshes** default to a ``shard_map``-wrapped
+      step (params replicated, batch sharded, grads ``pmean``'d over
+      'data'): mesh axes are fully manual there, so the Pallas fused
+      kernels stay enabled.  ``use_shard_map=False`` forces GSPMD.
+    - **tensor-parallel meshes** (model axis > 1) use GSPMD jit with the
+      param/activation shardings from ``parallel/partition.py``; the
+      kernel gates fall back to XLA formulations for that program.
 
     NOTE: the state argument is DONATED (buffers reused in place). On CPU
     backends ``shard_train_state``'s device_put can alias the original
@@ -52,16 +64,18 @@ def make_train_step(loss_fn: Callable[[Any, Any, Batch, jax.Array], Any],
     """
 
     def step(state: TrainState, batch: Batch, rng: jax.Array):
-        rng = jax.random.fold_in(rng, state.step)
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (loss, (metrics, new_extra)), grads = grad_fn(
-            state.params, state.extra_variables, batch, rng)
-        state = state.apply_gradients(grads)
-        if new_extra:
-            state = state.replace(extra_variables=new_extra)
-        metrics = dict(metrics)
-        metrics.setdefault("loss", loss)
-        return state, metrics
+        from mvlt_tpu.ops import policy
+        with policy.gspmd_tracing(mesh is not None and mesh.size > 1):
+            rng = jax.random.fold_in(rng, state.step)
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            (loss, (metrics, new_extra)), grads = grad_fn(
+                state.params, state.extra_variables, batch, rng)
+            state = state.apply_gradients(grads)
+            if new_extra:
+                state = state.replace(extra_variables=new_extra)
+            metrics = dict(metrics)
+            metrics.setdefault("loss", loss)
+            return state, metrics
 
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,) if donate else ())
@@ -70,6 +84,9 @@ def make_train_step(loss_fn: Callable[[Any, Any, Batch, jax.Array], Any],
     repl = NamedSharding(mesh, P())
 
     dp = mesh.shape.get("data", 1)
+    dp_only = mesh.size > 1 and dp == mesh.size
+    if use_shard_map is None:
+        use_shard_map = dp_only
 
     def _validate(batch: Batch) -> Batch:
         import numpy as np
@@ -95,14 +112,52 @@ def make_train_step(loss_fn: Callable[[Any, Any, Batch, jax.Array], Any],
         return device_prefetch(iterator, size=size, sharding=data,
                                transform=_validate)
 
-    jitted = jax.jit(
-        step,
-        in_shardings=(state_shardings, data, repl),
-        # pin the output state to the same layout so step N+1's input
-        # contract holds (XLA would otherwise pick its own shardings)
-        out_shardings=(state_shardings, repl),
-        donate_argnums=(0,) if donate else (),
-    )
+    if use_shard_map and dp_only:
+        # manual DP: every mesh axis is manual inside, so Mosaic kernels
+        # are legal. Params/opt-state replicated; identical pmean'd grads
+        # keep the replicas in lockstep (same contract as GSPMD DP).
+        from jax import shard_map
+
+        def local_step(state: TrainState, batch: Batch, rng: jax.Array):
+            rng = jax.random.fold_in(rng, state.step)
+            # decorrelate dropout across DP shards (GSPMD draws one
+            # global mask; manual shards each draw their own)
+            rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+
+            # pmean the LOSS (not the grads): under shard_map's typed
+            # axis-variance semantics, d(varying loss)/d(replicated
+            # params) is already psum'd across shards by the broadcast
+            # transpose — pmean'ing the loss first folds in the 1/dp so
+            # the grads come back as the global-batch mean, unvarying.
+            def local_loss(params, extra, batch, rng):
+                loss, aux = loss_fn(params, extra, batch, rng)
+                return jax.lax.pmean(loss, "data"), aux
+
+            grad_fn = jax.value_and_grad(local_loss, has_aux=True)
+            (loss, (metrics, new_extra)), grads = grad_fn(
+                state.params, state.extra_variables, batch, rng)
+            state = state.apply_gradients(grads)
+            if new_extra:
+                state = state.replace(
+                    extra_variables=jax.lax.pmean(new_extra, "data"))
+            metrics = {k: jax.lax.pmean(v, "data")
+                       for k, v in dict(metrics).items()}
+            metrics.setdefault("loss", loss)
+            return state, metrics
+
+        sm = shard_map(local_step, mesh=mesh,
+                       in_specs=(P(), P("data"), P()),
+                       out_specs=(P(), P()))
+        jitted = jax.jit(sm, donate_argnums=(0,) if donate else ())
+    else:
+        jitted = jax.jit(
+            step,
+            in_shardings=(state_shardings, data, repl),
+            # pin the output state to the same layout so step N+1's input
+            # contract holds (XLA would otherwise pick its own shardings)
+            out_shardings=(state_shardings, repl),
+            donate_argnums=(0,) if donate else (),
+        )
     jitted.shard_batch = shard_batch
     jitted.prefetch = prefetch
     return jitted
@@ -142,6 +197,15 @@ def _mirror_opt_shardings(opt_state, params, p_shard, mesh):
 # per-task loss adapters
 # ---------------------------------------------------------------------------
 
+def _bn_backbone(model) -> Optional[bool]:
+    """BatchNorm backbones (linear patch, ResNet) must train under GSPMD:
+    the shard_map DP path would compute BN moments over the per-shard
+    local batch (batch/dp samples) instead of the global batch.  Returns
+    False (force GSPMD) for those, None (auto) otherwise."""
+    conv = getattr(getattr(model, "config", None), "conv", "")
+    return False if conv in ("linear", "resnet50", "resnet101") else None
+
+
 def _apply(model, params, extra, rng, *args, train: bool = True, **kw):
     variables = {"params": params, **extra}
     mutable = [k for k in extra.keys() if k == "batch_stats"] if train else []
@@ -168,7 +232,8 @@ def make_vqa_step(model, mesh=None, state_shardings=None):
             jnp.float32))
         return loss, ({"accuracy": acc}, new_extra)
 
-    return make_train_step(loss_fn, mesh, state_shardings)
+    return make_train_step(loss_fn, mesh, state_shardings,
+                           use_shard_map=_bn_backbone(model))
 
 
 def make_pretrain_step(model, seq2seq: bool, mesh=None, state_shardings=None):
@@ -182,7 +247,8 @@ def make_pretrain_step(model, seq2seq: bool, mesh=None, state_shardings=None):
             batch.get("itm_label"), seq2seq=seq2seq)
         return loss, (metrics, new_extra)
 
-    return make_train_step(loss_fn, mesh, state_shardings)
+    return make_train_step(loss_fn, mesh, state_shardings,
+                           use_shard_map=_bn_backbone(model))
 
 
 def make_retrieval_step(model, mesh=None, state_shardings=None):
@@ -197,7 +263,8 @@ def make_retrieval_step(model, mesh=None, state_shardings=None):
             jnp.float32))
         return loss, ({"accuracy": acc}, new_extra)
 
-    return make_train_step(loss_fn, mesh, state_shardings)
+    return make_train_step(loss_fn, mesh, state_shardings,
+                           use_shard_map=_bn_backbone(model))
 
 
 def make_caption_step(model, learning_strategy: str = "unilm", mesh=None,
@@ -211,4 +278,5 @@ def make_caption_step(model, learning_strategy: str = "unilm", mesh=None,
             method=model.loss)
         return loss, ({}, new_extra)
 
-    return make_train_step(loss_fn, mesh, state_shardings)
+    return make_train_step(loss_fn, mesh, state_shardings,
+                           use_shard_map=_bn_backbone(model))

@@ -174,3 +174,51 @@ def test_grad_accumulation_matches_big_batch():
         lambda a, b: float(np.abs(np.asarray(a) - b).max()),
         s2.params, init_np))
     assert max(d1) > 0.0
+
+
+@pytest.mark.quick
+def test_dp_shard_map_step_matches_gspmd():
+    """The shard_map DP fast path (kernels legal inside manual axes)
+    produces the same updated params/metrics as the GSPMD-partitioned
+    step, dropout off (identical math, different partitioning)."""
+    cfg = tiny_cfg()
+    mesh = build_mesh(MeshConfig())
+    model = VQAModel(cfg)
+    batch = vqa_batch()
+
+    variables = model.init(jax.random.PRNGKey(0), batch["image"],
+                           batch["question"])
+    variables2 = jax.tree.map(jnp.array, variables)
+
+    from mvlt_tpu.train.steps import make_vqa_step
+
+    tx = make_optimizer(cfg)
+    s1 = create_train_state(model, variables, tx)
+    s1, shard1 = shard_train_state(s1, mesh)
+    step_sm = make_vqa_step(model, mesh, shard1)     # DP-only -> shard_map
+
+    tx2 = make_optimizer(cfg)
+    s2 = create_train_state(model, variables2, tx2)
+    s2, shard2 = shard_train_state(s2, mesh)
+    from mvlt_tpu.train.steps import make_train_step
+
+    def loss_fn(params, extra, batch, rng):
+        (loss, logits), _ = (model.apply(
+            {"params": params, **extra}, batch["image"], batch["question"],
+            batch["label"], deterministic=True, method=model.loss), {})
+        acc = jnp.mean((jnp.argmax(logits, -1) == batch["label"]).astype(
+            jnp.float32))
+        return loss, ({"accuracy": acc}, {})
+
+    # same loss with dropout disabled on both paths for exact comparison
+    step_a = make_train_step(loss_fn, mesh, shard1, use_shard_map=True)
+    step_b = make_train_step(loss_fn, mesh, shard2, use_shard_map=False)
+
+    b = step_a.shard_batch(batch)
+    sa, ma = step_a(s1, b, jax.random.PRNGKey(1))
+    sb, mb = step_b(s2, b, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]),
+                               rtol=1e-5, atol=1e-6)
+    for pa, pb in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=2e-4, atol=2e-5)
