@@ -26,6 +26,7 @@ path, training keeps XLA's fused backward).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -1696,7 +1697,8 @@ def _stored_block_bwd(x, params, bias, dp, qkv, ctx, g, scale, num_heads,
     dp1 = dp[0] if dp is not None else None        # (BW*N, 1) f32
     dp2 = dp[1] if dp is not None else None
 
-    if dt == jnp.bfloat16 and C <= 448 and (BW * N) % 8 == 0:
+    if dt == jnp.bfloat16 and C <= 448 and (BW * N) % 8 == 0 \
+            and not os.environ.get("MVLT_NO_FUSED_BWD"):
         # fused MLP-half backward kernel (res1 recompute + LN2/fc/GELU
         # vjp + ddp in VMEM); stage 4 (C=768) exceeds the weight-grad
         # accumulator VMEM budget and keeps the XLA formulation below
@@ -1760,7 +1762,8 @@ def _stored_block_bwd(x, params, bias, dp, qkv, ctx, g, scale, num_heads,
     dQKV2_d = dQKV2.astype(dt)
 
     # --- qkv head: recompute LN1 (elementwise) ---
-    if dt == jnp.bfloat16 and C <= 448 and (BW * N) % 8 == 0:
+    if dt == jnp.bfloat16 and C <= 448 and (BW * N) % 8 == 0 \
+            and not os.environ.get("MVLT_NO_FUSED_BWD"):
         # fused tail kernel: LN1 recompute/vjp + qkv weight/input grads
         # stay in VMEM (same gate as the MLP-half kernel above)
         dx2, dwqkv, dbqkv, dln1s, dln1b = swin_qkv_tail_bwd(
@@ -2784,7 +2787,7 @@ def _mlp_ln_bwd_stored(eps, interpret, res, g):
     g2 = g.reshape(-1, C)
     res2 = res_sum[:M]
 
-    if dt == jnp.bfloat16:
+    if dt == jnp.bfloat16 and not os.environ.get("MVLT_NO_FUSED_BWD"):
         # fused backward kernel: LN vjp + fc1/GELU/fc2 vjp with the
         # (M, 4C) f32 intermediates VMEM-resident (H-chunked grid)
         h2 = hmask.reshape(-1, C) if hmask is not None else None
