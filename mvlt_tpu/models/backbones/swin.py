@@ -42,11 +42,8 @@ from mvlt_tpu.ops.layers import DropPath, Mlp, trunc_normal_init
 Dtype = Any
 
 def _tpu_native_ok() -> bool:
-    """Native Mosaic kernels are usable: TPU backend AND not inside a
-    GSPMD-auto-partitioned multi-device trace (ops.policy — Mosaic calls
-    cannot be auto-partitioned; shard_map-wrapped steps keep kernels)."""
-    from mvlt_tpu.ops import policy
-    return jax.default_backend() == "tpu" and not policy.gspmd_auto_partition()
+    from mvlt_tpu.ops.policy import tpu_native_ok
+    return tpu_native_ok()
 
 
 

@@ -34,10 +34,8 @@ from mvlt_tpu.ops.attention import multi_head_attention
 from mvlt_tpu.ops.layers import gelu_exact, normal_init
 
 def _tpu_native_ok() -> bool:
-    """Native Mosaic kernels are usable: TPU backend AND not inside a
-    GSPMD-auto-partitioned multi-device trace (ops.policy)."""
-    from mvlt_tpu.ops import policy
-    return jax.default_backend() == "tpu" and not policy.gspmd_auto_partition()
+    from mvlt_tpu.ops.policy import tpu_native_ok
+    return tpu_native_ok()
 
 
 

@@ -87,9 +87,11 @@ class VQAModel(nn.Module):
         logits = self.final_mlp(pooled)
         return jnp.asarray(nn.softmax(logits, axis=-1)), logits
 
-    def loss(self, image, question, label, deterministic: bool = False):
+    def loss(self, image, question, label, deterministic: bool = False,
+             axis_name=None):
         _, logits = self(image, question, deterministic)
-        return cross_entropy_ignore_index(logits, label), logits
+        return cross_entropy_ignore_index(logits, label,
+                                          axis_name=axis_name), logits
 
 
 class PretrainModel(nn.Module):
@@ -113,7 +115,8 @@ class PretrainModel(nn.Module):
                                 dtype=self.dtype, name="itm_mlp")
 
     def __call__(self, image, caption_masked, caption_label, itm_label,
-                 seq2seq: bool = False, deterministic: bool = True):
+                 seq2seq: bool = False, deterministic: bool = True,
+                 axis_name=None):
         """Returns the summed loss (MLM CE ignore -100 [+ ITM CE]) plus a
         metrics dict.  ``seq2seq`` is static: the reference flips it per
         batch with Python RNG (model.py:390-394)."""
@@ -139,12 +142,14 @@ class PretrainModel(nn.Module):
         metrics = {}
         loss = jnp.float32(0.0)
         if cfg.mlm_task:
-            mlm_loss = cross_entropy_ignore_index(mlm_logits, mlm_label)
+            mlm_loss = cross_entropy_ignore_index(mlm_logits, mlm_label,
+                                                  axis_name=axis_name)
             metrics["mlm_loss"] = mlm_loss
             loss = loss + mlm_loss
         if cfg.itm_task:
             itm_logits = self.itm_mlp(out.pooled)
-            itm_loss = cross_entropy_ignore_index(itm_logits, itm_label)
+            itm_loss = cross_entropy_ignore_index(itm_logits, itm_label,
+                                                  axis_name=axis_name)
             metrics["itm_loss"] = itm_loss
             loss = loss + itm_loss
         metrics["loss"] = loss
@@ -195,9 +200,11 @@ class RetrievalModel(nn.Module):
         logits = self.final_linear(self.transform(out.pooled))
         return nn.softmax(logits, axis=-1)[:, 1]
 
-    def loss(self, image, caption, label, deterministic: bool = False):
+    def loss(self, image, caption, label, deterministic: bool = False,
+             axis_name=None):
         logits = self(image, caption, deterministic)
-        return cross_entropy_ignore_index(logits, label), logits
+        return cross_entropy_ignore_index(logits, label,
+                                          axis_name=axis_name), logits
 
 
 class CaptionModel(nn.Module):
@@ -253,7 +260,7 @@ class CaptionModel(nn.Module):
         raise NotImplementedError(f"learning_strategy {learning_strategy}")
 
     def loss(self, image, caption, labels, learning_strategy: str = "unilm",
-             deterministic: bool = False):
+             deterministic: bool = False, axis_name=None):
         cfg = self.config
         if (learning_strategy == "unilm" and cfg.mlm_gather_k
                 and not self.is_initializing()):
@@ -269,6 +276,8 @@ class CaptionModel(nn.Module):
             hid, lab = gather_label_positions(out.text_output(), labels,
                                               cfg.mlm_gather_k)
             logits = self.mlm_head_seq2seq(hid)
-            return cross_entropy_ignore_index(logits, lab), logits
+            return cross_entropy_ignore_index(logits, lab,
+                                              axis_name=axis_name), logits
         logits = self(image, caption, learning_strategy, deterministic)
-        return cross_entropy_ignore_index(logits, labels), logits
+        return cross_entropy_ignore_index(logits, labels,
+                                          axis_name=axis_name), logits

@@ -90,20 +90,30 @@ class DropPath(nn.Module):
 
 
 def cross_entropy_ignore_index(logits: jnp.ndarray, labels: jnp.ndarray,
-                               ignore_index: int = -100) -> jnp.ndarray:
+                               ignore_index: int = -100,
+                               axis_name=None) -> jnp.ndarray:
     """Mean CE over labels != ignore_index (torch F.cross_entropy parity,
     reference model.py:410, run_vqa.py:105).
 
     logits: (..., num_classes) float; labels: (...) int.
     Returns a scalar mean over valid positions (0 if none are valid).
+
+    ``axis_name``: inside ``shard_map``, psum both the NLL sum and the
+    valid count over the named axis so the mean is over the GLOBAL
+    batch's valid positions — bit-matching the single-program (GSPMD)
+    formulation even when shards carry different numbers of valid
+    labels (MLM masking, -100 unanswerables).
     """
     valid = labels != ignore_index
     safe_labels = jnp.where(valid, labels, 0)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
     nll = jnp.where(valid, nll, 0.0)
-    count = jnp.maximum(valid.sum(), 1)
-    return nll.sum() / count
+    total, count = nll.sum(), valid.sum()
+    if axis_name is not None:
+        total = jax.lax.psum(total, axis_name)
+        count = jax.lax.psum(count, axis_name)
+    return total / jnp.maximum(count, 1)
 
 
 def gather_label_positions(hidden: jnp.ndarray, labels: jnp.ndarray,

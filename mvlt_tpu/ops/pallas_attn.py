@@ -1500,6 +1500,9 @@ def swin_mlp_half_bwd(x2, ctx2, g2, wproj, bproj, ln2s, ln2b, w1, b1, w2,
     R = 1 << max(6, (49152 // max(C, 1)).bit_length() - 1)
     while R > 8 and (M % R != 0 or R * H * 4 * 5 > 6 * 1024 * 1024):
         R //= 2
+    if M % R != 0:
+        raise ValueError(f"row count {M} not divisible by chunk {R} "
+                         "(callers must pad rows to a multiple of 8)")
 
     grid = (M // R,)
     row_spec = lambda c: pl.BlockSpec((R, c), lambda i: (i, 0),
@@ -1509,9 +1512,7 @@ def swin_mlp_half_bwd(x2, ctx2, g2, wproj, bproj, ln2s, ln2b, w1, b1, w2,
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
-    def acc_spec(shape):
-        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
-                            memory_space=pltpu.VMEM)
+    acc_spec = const_spec
 
     b_row = lambda a: a.reshape(1, -1)
     in_specs = [row_spec(C), row_spec(C), row_spec(C),
@@ -1632,6 +1633,9 @@ def swin_qkv_tail_bwd(x2, dqkv2, dres1, wqkv, ln1s, ln1b,
     R = 1 << max(6, (49152 // max(C, 1)).bit_length() - 1)
     while R > 8 and M % R != 0:
         R //= 2
+    if M % R != 0:
+        raise ValueError(f"row count {M} not divisible by chunk {R} "
+                         "(callers must pad rows to a multiple of 8)")
 
     grid = (M // R,)
     row_spec = lambda c: pl.BlockSpec((R, c), lambda i: (i, 0),
@@ -1697,8 +1701,11 @@ def _stored_block_bwd(x, params, bias, dp, qkv, ctx, g, scale, num_heads,
     dp1 = dp[0] if dp is not None else None        # (BW*N, 1) f32
     dp2 = dp[1] if dp is not None else None
 
-    if dt == jnp.bfloat16 and C <= 448 and (BW * N) % 8 == 0 \
-            and not os.environ.get("MVLT_NO_FUSED_BWD"):
+    use_fused_bwd = (dt == jnp.bfloat16 and C <= 448
+                     and (BW * N) % 8 == 0
+                     and not os.environ.get("MVLT_NO_FUSED_BWD"))
+
+    if use_fused_bwd:
         # fused MLP-half backward kernel (res1 recompute + LN2/fc/GELU
         # vjp + ddp in VMEM); stage 4 (C=768) exceeds the weight-grad
         # accumulator VMEM budget and keeps the XLA formulation below
@@ -1762,8 +1769,7 @@ def _stored_block_bwd(x, params, bias, dp, qkv, ctx, g, scale, num_heads,
     dQKV2_d = dQKV2.astype(dt)
 
     # --- qkv head: recompute LN1 (elementwise) ---
-    if dt == jnp.bfloat16 and C <= 448 and (BW * N) % 8 == 0 \
-            and not os.environ.get("MVLT_NO_FUSED_BWD"):
+    if use_fused_bwd:
         # fused tail kernel: LN1 recompute/vjp + qkv weight/input grads
         # stay in VMEM (same gate as the MLP-half kernel above)
         dx2, dwqkv, dbqkv, dln1s, dln1b = swin_qkv_tail_bwd(
@@ -2809,15 +2815,40 @@ def _mlp_ln_bwd_stored(eps, interpret, res, g):
     dmlp = dres * hmask.reshape(-1, C).astype(jnp.float32) \
         if hmask is not None else dres
 
-    def fc_piece(x2, w1, b1, w2, b2):
-        m = jax.nn.gelu(
-            jnp.matmul(x2, w1, preferred_element_type=jnp.float32) + b1,
-            approximate=False)
-        return jnp.matmul(m.astype(dt), w2,
-                          preferred_element_type=jnp.float32) + b2
+    approx_gelu = dt == jnp.bfloat16 and not interpret
 
-    _, vjp_fc = jax.vjp(fc_piece, x2, w1, b1, w2, b2)
-    dx2, dw1, db1, dw2, db2 = vjp_fc(dmlp)
+    if dt == jnp.bfloat16:
+        # kill-switch (MVLT_NO_FUSED_BWD) fallback: the hand-written
+        # mixed-precision XLA backward — matmuls with bf16 operands +
+        # f32 accumulation (f32-operand matmuls are emulated multi-pass
+        # on the MXU), GELU derivative matching the forward kernel's
+        # tanh fast path.
+        def mm(a, b):
+            return jnp.matmul(a, b, preferred_element_type=jnp.float32)
+
+        a1 = mm(x2, w1) + b1
+        m, vjp_gelu = jax.vjp(
+            lambda a: jax.nn.gelu(a, approximate=approx_gelu), a1)
+        md = m.astype(dt)
+        dmlp_d = dmlp.astype(dt)
+        dw2 = mm(md.T, dmlp_d)
+        db2 = dmlp.sum(0)
+        dm = mm(dmlp_d, w2.astype(dt).T)
+        (da1,) = vjp_gelu(dm)
+        da1_d = da1.astype(dt)
+        dw1 = mm(x2.T, da1_d)
+        db1 = da1.sum(0)
+        dx2 = mm(da1_d, w1.astype(dt).T)
+    else:
+        def fc_piece(x2, w1, b1, w2, b2):
+            m = jax.nn.gelu(
+                jnp.matmul(x2, w1, preferred_element_type=jnp.float32) + b1,
+                approximate=approx_gelu)
+            return jnp.matmul(m.astype(dt), w2,
+                              preferred_element_type=jnp.float32) + b2
+
+        _, vjp_fc = jax.vjp(fc_piece, x2, w1, b1, w2, b2)
+        dx2, dw1, db1, dw2, db2 = vjp_fc(dmlp)
 
     dx = (dx2.astype(jnp.float32) + dres).astype(dt).reshape(shape)
     out = (dx, dw1.astype(w1.dtype), db1.astype(b1.dtype),

@@ -34,3 +34,10 @@ def gspmd_tracing(on: bool = True):
         yield
     finally:
         _gspmd_auto_partition = prev
+
+
+def tpu_native_ok() -> bool:
+    """Native Mosaic kernels are usable here: TPU backend AND not inside
+    a GSPMD-auto-partitioned multi-device trace."""
+    import jax
+    return jax.default_backend() == "tpu" and not gspmd_auto_partition()

@@ -69,7 +69,21 @@ class TaskRunner:
         specialization within it."""
         fn = self._compiled.get(key)
         if fn is None:
-            fn = self._compiled[key] = jax.jit(factory())
+            raw = factory()
+            mesh = self.mesh
+
+            def traced(*a, **k):
+                # eval programs over a multi-device mesh are GSPMD-
+                # partitioned (params live sharded/replicated across the
+                # mesh) — Mosaic kernels cannot be auto-partitioned
+                # there, so flag the trace to route the kernel gates to
+                # XLA (ops/policy.py); single-device meshes keep kernels.
+                from mvlt_tpu.ops import policy
+                with policy.gspmd_tracing(mesh is not None
+                                          and mesh.size > 1):
+                    return raw(*a, **k)
+
+            fn = self._compiled[key] = jax.jit(traced)
         return fn
 
     def init_state(self, example_batch_args: tuple,

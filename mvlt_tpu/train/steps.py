@@ -118,18 +118,29 @@ def make_train_step(loss_fn: Callable[[Any, Any, Batch, jax.Array], Any],
         # keep the replicas in lockstep (same contract as GSPMD DP).
         from jax import shard_map
 
+        import inspect
+        accepts_axis = "axis_name" in inspect.signature(loss_fn).parameters
+
         def local_step(state: TrainState, batch: Batch, rng: jax.Array):
             rng = jax.random.fold_in(rng, state.step)
             # decorrelate dropout across DP shards (GSPMD draws one
             # global mask; manual shards each draw their own)
             rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
 
-            # pmean the LOSS (not the grads): under shard_map's typed
-            # axis-variance semantics, d(varying loss)/d(replicated
-            # params) is already psum'd across shards by the broadcast
-            # transpose — pmean'ing the loss first folds in the 1/dp so
-            # the grads come back as the global-batch mean, unvarying.
+            # Make the LOSS global before grad (not the grads after):
+            # under shard_map's typed axis-variance semantics,
+            # d(unvarying loss)/d(replicated params) comes back psum'd
+            # across shards by the broadcast transpose with the global
+            # normalization folded in.  Axis-aware loss_fns (the task
+            # adapters) psum their own NLL sums AND valid-label counts,
+            # so ignore-index losses normalize by the GLOBAL count —
+            # bit-matching GSPMD even when shards carry different
+            # numbers of valid labels.  Plain loss_fns (uniform
+            # per-shard weights) are pmean'd.
             def local_loss(params, extra, batch, rng):
+                if accepts_axis:
+                    return loss_fn(params, extra, batch, rng,
+                                   axis_name="data")
                 loss, aux = loss_fn(params, extra, batch, rng)
                 return jax.lax.pmean(loss, "data"), aux
 
@@ -202,7 +213,7 @@ def _bn_backbone(model) -> Optional[bool]:
     the shard_map DP path would compute BN moments over the per-shard
     local batch (batch/dp samples) instead of the global batch.  Returns
     False (force GSPMD) for those, None (auto) otherwise."""
-    conv = getattr(getattr(model, "config", None), "conv", "")
+    conv = str(getattr(getattr(model, "config", None), "conv", "")).lower()
     return False if conv in ("linear", "resnet50", "resnet101") else None
 
 
@@ -224,10 +235,10 @@ def _apply(model, params, extra, rng, *args, train: bool = True, **kw):
 def make_vqa_step(model, mesh=None, state_shardings=None):
     """CE over answer logits (run_vqa.py:105)."""
 
-    def loss_fn(params, extra, batch, rng):
+    def loss_fn(params, extra, batch, rng, axis_name=None):
         (loss, logits), new_extra = _apply(
             model, params, extra, rng, batch["image"], batch["question"],
-            batch["label"], method=model.loss)
+            batch["label"], method=model.loss, axis_name=axis_name)
         acc = jnp.mean((jnp.argmax(logits, -1) == batch["label"]).astype(
             jnp.float32))
         return loss, ({"accuracy": acc}, new_extra)
@@ -240,11 +251,11 @@ def make_pretrain_step(model, seq2seq: bool, mesh=None, state_shardings=None):
     """MLM (+ITM) summed loss (model.py:410-420); one compiled program per
     mask mode."""
 
-    def loss_fn(params, extra, batch, rng):
+    def loss_fn(params, extra, batch, rng, axis_name=None):
         (loss, metrics), new_extra = _apply(
             model, params, extra, rng, batch["image"],
             batch["caption_masked"], batch["caption_label"],
-            batch.get("itm_label"), seq2seq=seq2seq)
+            batch.get("itm_label"), seq2seq=seq2seq, axis_name=axis_name)
         return loss, (metrics, new_extra)
 
     return make_train_step(loss_fn, mesh, state_shardings,
@@ -255,10 +266,10 @@ def make_retrieval_step(model, mesh=None, state_shardings=None):
     """CE over match logits; batch already = concat(pos, neg)
     (run_retrieval.py:162-177)."""
 
-    def loss_fn(params, extra, batch, rng):
+    def loss_fn(params, extra, batch, rng, axis_name=None):
         (loss, logits), new_extra = _apply(
             model, params, extra, rng, batch["image"], batch["caption"],
-            batch["label"], method=model.loss)
+            batch["label"], method=model.loss, axis_name=axis_name)
         acc = jnp.mean((jnp.argmax(logits, -1) == batch["label"]).astype(
             jnp.float32))
         return loss, ({"accuracy": acc}, new_extra)
@@ -271,11 +282,11 @@ def make_caption_step(model, learning_strategy: str = "unilm", mesh=None,
                       state_shardings=None):
     """CE over MLM logits ignore -100 (run_report_generation_cxr.py:471)."""
 
-    def loss_fn(params, extra, batch, rng):
+    def loss_fn(params, extra, batch, rng, axis_name=None):
         (loss, _), new_extra = _apply(
             model, params, extra, rng, batch["image"], batch["caption"],
             batch["mlm_labels"], learning_strategy=learning_strategy,
-            method=model.loss)
+            method=model.loss, axis_name=axis_name)
         return loss, ({}, new_extra)
 
     return make_train_step(loss_fn, mesh, state_shardings,

@@ -10,15 +10,9 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Honor JAX_PLATFORMS at the config level: sitecustomize may have
-# registered a TPU platform plugin before env vars are read, which
-# latches the platform choice — a child process spawned with
-# JAX_PLATFORMS=cpu (tests, CI) would otherwise still dial the TPU
-# (mirrors tests/conftest.py).
-if os.environ.get("JAX_PLATFORMS"):
-    import jax
+from mvlt_tpu.utils.platform import honor_jax_platforms
 
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+honor_jax_platforms()
 
 
 def parse_args():

@@ -195,7 +195,16 @@ def test_dp_shard_map_step_matches_gspmd():
     tx = make_optimizer(cfg)
     s1 = create_train_state(model, variables, tx)
     s1, shard1 = shard_train_state(s1, mesh)
-    step_sm = make_vqa_step(model, mesh, shard1)     # DP-only -> shard_map
+    # default routing: DP-only mesh -> shard_map step (runs below too)
+    step_default = make_vqa_step(model, mesh, shard1)
+    s_def, m_def = step_default(s1, step_default.shard_batch(batch),
+                                jax.random.PRNGKey(1))
+    assert np.isfinite(float(m_def["loss"]))
+    # rebuild state: the default step donated s1's buffers
+    variables = model.init(jax.random.PRNGKey(0), batch["image"],
+                           batch["question"])
+    s1 = create_train_state(model, variables, make_optimizer(cfg))
+    s1, shard1 = shard_train_state(s1, mesh)
 
     tx2 = make_optimizer(cfg)
     s2 = create_train_state(model, variables2, tx2)
@@ -217,6 +226,54 @@ def test_dp_shard_map_step_matches_gspmd():
     b = step_a.shard_batch(batch)
     sa, ma = step_a(s1, b, jax.random.PRNGKey(1))
     sb, mb = step_b(s2, b, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]),
+                               rtol=1e-5, atol=1e-6)
+    for pa, pb in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.quick
+def test_dp_shard_map_pretrain_loss_matches_gspmd():
+    from mvlt_tpu.train.steps import make_train_step, _apply
+
+    cfg = tiny_cfg(itm_task=True)
+    mesh = build_mesh(MeshConfig())
+    model = PretrainModel(cfg)
+    rng = np.random.default_rng(7)
+    B, L = 8, 6
+    labels = np.full((B, L), -100, np.int32)
+    for i in range(B):
+        k = 1 + i % L
+        labels[i, :k] = rng.integers(1, 100, k)
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(B, 3, 32, 32)), jnp.float32),
+        "caption_masked": jnp.asarray(rng.integers(1, 100, (B, L)),
+                                      jnp.int32),
+        "caption_label": jnp.asarray(labels),
+        "itm_label": jnp.asarray(rng.integers(0, 2, (B,)), jnp.int32),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch["image"],
+                           batch["caption_masked"], batch["caption_label"],
+                           batch["itm_label"])
+    variables2 = jax.tree.map(jnp.array, variables)
+
+    def loss_fn(params, extra, batch, rng, axis_name=None):
+        (loss, metrics), new_extra = _apply(
+            model, params, extra, rng, batch["image"],
+            batch["caption_masked"], batch["caption_label"],
+            batch["itm_label"], seq2seq=False, axis_name=axis_name,
+            train=False)
+        return loss, (dict(metrics), new_extra)
+
+    outs = {}
+    for vs, sm in ((variables, True), (variables2, False)):
+        s = create_train_state(model, vs, make_optimizer(cfg))
+        s, shardings = shard_train_state(s, mesh)
+        step = make_train_step(loss_fn, mesh, shardings, use_shard_map=sm)
+        outs[sm] = step(s, step.shard_batch(batch), jax.random.PRNGKey(3))
+
+    (sa, ma), (sb, mb) = outs[True], outs[False]
     np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]),
                                rtol=1e-5, atol=1e-6)
     for pa, pb in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
