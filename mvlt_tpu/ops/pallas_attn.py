@@ -1357,6 +1357,38 @@ def _full_bwd_stored(scale, num_heads, interpret, res, g):
                              num_heads, interp)
 
 
+def _dot(a, b):                         # (R, K) @ (K, L), f32 accumulate
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_t(a, b):                       # (R, K) @ (L, K)^T
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_rows(a, b):                    # (R, K)^T @ (R, L)
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _mxu_sums(R, C):
+    """(rowsum, colsum) reducers as MXU ones-matvecs (the VPU lane
+    reduction tree moves to the otherwise idle MXU)."""
+    ones_c = jnp.ones((C, 1), jnp.float32)
+    ones_r = jnp.ones((R, 1), jnp.float32)
+
+    def rowsum(a):                      # (R, C) -> (R, 1)
+        return jax.lax.dot_general(a, ones_c, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def colsum(a):                      # (R, K) -> (1, K)
+        return jax.lax.dot_general(ones_r, a, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    return rowsum, colsum
+
+
 def _gelu_grad(a, fast: bool):
     """(gelu(a), gelu'(a)) in f32, matching :func:`_gelu_exact`'s two
     formulations (tanh fast path / A&S-rational-erf exact path)."""
@@ -1408,28 +1440,8 @@ def _swin_mlp_bwd_kernel(x_ref, ctx_ref, g_ref, wproj_ref, bproj_ref,
 
     R, C = x_ref.shape
     dt = x_ref.dtype
-    ones_c = jnp.ones((C, 1), jnp.float32)
-    ones_r = jnp.ones((R, 1), jnp.float32)
-
-    def rowsum(a):                      # (R, C) -> (R, 1), MXU matvec
-        return jax.lax.dot_general(a, ones_c, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-
-    def colsum(a):                      # (R, K) -> (1, K), MXU matvec
-        return jax.lax.dot_general(ones_r, a, (((0,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-
-    def dot(a, b):                      # (R, K) @ (K, L), dt operands
-        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-
-    def dot_t(a, b):                    # (R, K) @ (L, K)^T
-        return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-
-    def dot_rows(a, b):                 # (R, K)^T @ (R, L)
-        return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+    rowsum, colsum = _mxu_sums(R, C)
+    dot, dot_t, dot_rows = _dot, _dot_t, _dot_rows
 
     xf = x_ref[:].astype(jnp.float32)
     gf = g_ref[:].astype(jnp.float32)
@@ -1579,24 +1591,8 @@ def _swin_qkv_tail_kernel(x_ref, dqkv_ref, dres1_ref, wqkv_ref, ln1s_ref,
 
     R, C = x_ref.shape
     dt = x_ref.dtype
-    ones_c = jnp.ones((C, 1), jnp.float32)
-    ones_r = jnp.ones((R, 1), jnp.float32)
-
-    def rowsum(a):
-        return jax.lax.dot_general(a, ones_c, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-
-    def colsum(a):
-        return jax.lax.dot_general(ones_r, a, (((0,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-
-    def dot_t(a, b):                    # (R, K) @ (L, K)^T
-        return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-
-    def dot_rows(a, b):                 # (R, K)^T @ (R, L)
-        return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+    rowsum, colsum = _mxu_sums(R, C)
+    dot_t, dot_rows = _dot_t, _dot_rows
 
     xf = x_ref[:].astype(jnp.float32)
     mu = rowsum(xf) * (1.0 / C)
@@ -2627,28 +2623,8 @@ def _mlp_ln_bwd_kernel(x_ref, res_ref, g_ref, w1_ref, b1_ref, w2_ref,
 
     R, C = x_ref.shape
     dt = x_ref.dtype
-    ones_c = jnp.ones((C, 1), jnp.float32)
-    ones_r = jnp.ones((R, 1), jnp.float32)
-
-    def rowsum(a):                      # (R, C) -> (R, 1), MXU matvec
-        return jax.lax.dot_general(a, ones_c, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-
-    def colsum(a):                      # (R, K) -> (1, K), MXU matvec
-        return jax.lax.dot_general(ones_r, a, (((0,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-
-    def dot(a, b):
-        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-
-    def dot_t(a, b):                    # (R, K) @ (L, K)^T
-        return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-
-    def dot_rows(a, b):                 # (R, K)^T @ (R, L)
-        return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+    rowsum, colsum = _mxu_sums(R, C)
+    dot, dot_t, dot_rows = _dot, _dot_t, _dot_rows
 
     gf = g_ref[:].astype(jnp.float32)
     res = res_ref[:]
