@@ -28,17 +28,76 @@ def load_vocab(vocab_path: str) -> Dict[str, int]:
 
 
 def find_default_vocab() -> Optional[str]:
-    """Locate a bert-base-uncased vocab.txt without network access."""
+    """Locate a bert-base-uncased vocab.txt without network access.
+
+    Search order: ``MVLT_VOCAB`` env var, a packaged ``vocab.txt`` next
+    to this module, the reference-layout ``./dataset`` path, then (dev
+    environments only) ``MVLT_DEV_VOCAB_ROOT/dataset/bert-base-uncased/
+    vocab.txt``.  Callers get ``None`` (and should fail loudly) when no
+    vocab is found — there is no baked absolute path."""
     candidates = [
         os.environ.get("MVLT_VOCAB", ""),
         os.path.join(os.path.dirname(__file__), "vocab.txt"),
         "./dataset/bert-base-uncased/vocab.txt",
-        "/root/reference/dataset/bert-base-uncased/vocab.txt",
     ]
+    dev_root = os.environ.get("MVLT_DEV_VOCAB_ROOT", "")
+    if dev_root:
+        candidates.append(os.path.join(
+            dev_root, "dataset", "bert-base-uncased", "vocab.txt"))
     for c in candidates:
         if c and os.path.exists(c):
             return c
     return None
+
+
+def synthetic_vocab_file(path: Optional[str] = None) -> str:
+    """Generate a bert-base-uncased-SHAPED vocab for synthetic smoke runs.
+
+    Same 30522-entry size and special-token layout as the reference's
+    shipped vocab ([PAD]=0, [unused0..98]=1..99, [UNK]=100, [CLS]=101,
+    [SEP]=102, [MASK]=103, [END]=104), with ascii letters/digits,
+    continuation pieces and a small english/clinical word list so the
+    synthetic datasets tokenize into real word pieces.  Cached under the
+    tmp dir; regenerate by deleting the file."""
+    import tempfile
+
+    if path is None:
+        path = os.path.join(tempfile.gettempdir(),
+                            "mvlt_synthetic_vocab.txt")
+    if os.path.exists(path):
+        return path
+    words = ("the a an is are was it this there no yes not and or of in on "
+             "at to with within without normal abnormal clear stable mild "
+             "moderate severe acute chronic right left upper lower lobe "
+             "lung lungs heart cardiac size silhouette chest pleural "
+             "effusion pneumothorax consolidation opacity nodule mass "
+             "fracture degenerative unremarkable impression findings "
+             "comparison seen noted present absent what where which how "
+             "many does do patient image scan xray ray organ modality "
+             "plane brain liver kidney bone tissue large small").split()
+    lines = (["[PAD]"] + [f"[unused{i}]" for i in range(99)]
+             + ["[UNK]", "[CLS]", "[SEP]", "[MASK]", "[END]"])
+    ascii_chars = "abcdefghijklmnopqrstuvwxyz0123456789"
+    lines += list(ascii_chars) + ["##" + c for c in ascii_chars]
+    lines += list(".,;:?!()-/")
+    lines += sorted(set(words) - set(lines))   # 'a' is already a letter
+    while len(lines) < 30522:
+        lines.append(f"[fill{len(lines)}]")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("\n".join(lines[:30522]) + "\n")
+    os.replace(tmp, path)
+    return path
+
+
+def default_tokenizer(synthetic_ok: bool = False) -> "WordPieceTokenizer":
+    """The drivers' tokenizer entry point: discovered vocab, or (for
+    ``--synthetic`` smoke runs only) a generated stand-in vocab with the
+    reference's special-token layout."""
+    path = find_default_vocab()
+    if path is None and synthetic_ok:
+        path = synthetic_vocab_file()
+    return WordPieceTokenizer(path)
 
 
 def _is_whitespace(ch: str) -> bool:

@@ -70,9 +70,9 @@ def main():
     from mvlt_tpu.models.heads import PretrainModel
     from mvlt_tpu.tasks.common import TaskRunner
     from mvlt_tpu.tasks.pretrain import train_pretrain
-    from mvlt_tpu.text.tokenizer import WordPieceTokenizer
+    from mvlt_tpu.text.tokenizer import default_tokenizer
 
-    tokenizer = WordPieceTokenizer()
+    tokenizer = default_tokenizer(synthetic_ok=getattr(args, "synthetic", False))
     cfg = MVLTConfig.for_pretrain(lr=args.lr)
     cfg = dataclasses.replace(cfg, conv=args.conv, itm_task=args.itm_task,
                               max_length=args.max_length)

@@ -83,10 +83,10 @@ def main():
     from mvlt_tpu.models.heads import CaptionModel
     from mvlt_tpu.tasks.caption import eval_caption, train_caption
     from mvlt_tpu.tasks.common import TaskRunner
-    from mvlt_tpu.text.tokenizer import WordPieceTokenizer
+    from mvlt_tpu.text.tokenizer import default_tokenizer
     from mvlt_tpu.utils import checkpoint as ckpt_lib
 
-    tokenizer = WordPieceTokenizer()
+    tokenizer = default_tokenizer(synthetic_ok=(args.dataset == "synthetic"))
     max_length = args.max_length or default_max_length(args.dataset)
     cfg = MVLTConfig.for_caption(lr=args.lr, max_length=max_length)
     cfg = dataclasses.replace(cfg, conv=args.conv)

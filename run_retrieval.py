@@ -53,10 +53,10 @@ def main():
     from mvlt_tpu.models.heads import RetrievalModel
     from mvlt_tpu.tasks.common import TaskRunner
     from mvlt_tpu.tasks.retrieval import (eval_retrieval, train_retrieval)
-    from mvlt_tpu.text.tokenizer import WordPieceTokenizer
+    from mvlt_tpu.text.tokenizer import default_tokenizer
     from mvlt_tpu.utils import checkpoint as ckpt_lib
 
-    tokenizer = WordPieceTokenizer()
+    tokenizer = default_tokenizer(synthetic_ok=getattr(args, "synthetic", False))
     cfg = MVLTConfig.for_retrieval(lr=args.lr, max_length=args.max_length)
     cfg = dataclasses.replace(cfg, conv=args.conv)
     if args.tiny:

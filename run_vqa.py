@@ -89,10 +89,10 @@ def main():
     from mvlt_tpu.models.heads import VQAModel
     from mvlt_tpu.tasks.common import TaskRunner
     from mvlt_tpu.tasks.vqa import train_vqa
-    from mvlt_tpu.text.tokenizer import WordPieceTokenizer
+    from mvlt_tpu.text.tokenizer import default_tokenizer
     from mvlt_tpu.utils import checkpoint as ckpt_lib
 
-    tokenizer = WordPieceTokenizer()
+    tokenizer = default_tokenizer(synthetic_ok=args.synthetic)
     train, valid, test = build_datasets(args, tokenizer)
     result_num = len(train.ans2label)
     cfg = build_config(args, tokenizer, result_num)

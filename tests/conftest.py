@@ -28,6 +28,9 @@ import sys
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 REFERENCE_ROOT = "/root/reference"
+# vocab discovery in this dev environment: the package does not bake an
+# absolute reference path (text/tokenizer.py:find_default_vocab)
+os.environ.setdefault("MVLT_DEV_VOCAB_ROOT", REFERENCE_ROOT)
 
 # Build the native C++ library up front so tests that exercise the fast
 # paths (metrics PTB tokenizer, WordPiece) see it regardless of test order.
