@@ -172,3 +172,58 @@ def test_masked_fused_encoder_parity_on_chip(tpu):
         x, w1, b1, w2, b2, lns, lnb))
     d = np.abs(np.float32(got) - np.float32(want))
     assert d.max() < 0.1, d.max()
+
+
+def test_fused_backward_kernels_grad_parity_on_chip(tpu):
+    """Grads through the fused stored-backward kernels (swin MLP half,
+    swin qkv tail, fusion mlp_ln_half_bwd) == the MVLT_NO_FUSED_BWD XLA
+    formulations, at flagship geometry, same dropout/DropPath draws."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from mvlt_tpu.flagship import flagship_vqa_config
+    from mvlt_tpu.models.heads import PretrainModel
+
+    cfg = dataclasses.replace(flagship_vqa_config(), itm_task=True,
+                              max_length=32)
+    model = PretrainModel(cfg, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(1)
+    B, L = 4, 32
+    image = jnp.asarray(rng.normal(size=(B, 3, 224, 224)), jnp.float32)
+    cap = jnp.asarray(rng.integers(1, 30000, (B, L)), jnp.int32)
+    lab = jnp.asarray(np.where(rng.random((B, L)) < 0.15,
+                               rng.integers(1, 30000, (B, L)), -100),
+                      jnp.int32)
+    itm = jnp.asarray(rng.integers(0, 2, (B,)), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), image, cap, lab, itm)
+    params = variables["params"]
+    key = jax.random.PRNGKey(7)
+
+    def loss_fn(p):
+        out = model.apply({"params": p}, image, cap, lab, itm,
+                          deterministic=False, seq2seq=False,
+                          rngs={"dropout": key, "drop_path": key})
+        return (out[0] if isinstance(out, tuple) else out).astype(
+            jnp.float32)
+
+    assert not os.environ.get("MVLT_NO_FUSED_BWD")
+    g_fused = jax.device_get(jax.jit(jax.grad(loss_fn))(params))
+    os.environ["MVLT_NO_FUSED_BWD"] = "1"
+    try:
+        # fresh trace (env read at trace time); jit cache key differs by
+        # function object, so wrap in a new lambda
+        g_xla = jax.device_get(jax.jit(jax.grad(lambda p: loss_fn(p)))(
+            params))
+    finally:
+        del os.environ["MVLT_NO_FUSED_BWD"]
+
+    flat_f, _ = jax.tree_util.tree_flatten_with_path(g_fused)
+    flat_x = jax.tree_util.tree_leaves(g_xla)
+    assert len(flat_f) == len(flat_x)
+    for (path, a), b in zip(flat_f, flat_x):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        scale = max(np.abs(b).max(), 1e-3)
+        err = np.abs(a - b).max() / scale
+        assert err < 0.15, (jax.tree_util.keystr(path), err,
+                            float(np.abs(b).max()))
