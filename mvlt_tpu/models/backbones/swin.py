@@ -174,6 +174,16 @@ class WindowAttention(nn.Module):
             drop_active = self.attn_drop > 0.0 and not deterministic
             impl = ("pallas_block" if _tpu_native_ok()
                     and not drop_active else "xla")
+        elif (impl in ("pallas_block", "pallas", "interpret_block",
+                       "interpret")
+              and self.attn_drop > 0.0 and not deterministic):
+            # the kernels cannot apply attention-prob dropout; silently
+            # training without the configured regularizer would be worse
+            # than failing (the 'auto' path falls back to XLA instead)
+            raise ValueError(
+                f"attn_impl={impl!r} cannot apply attention dropout "
+                f"(attn_drop_rate={self.attn_drop}); use attn_impl='auto' "
+                "or 'xla' for training with attention dropout")
 
         if impl in ("pallas_block", "interpret_block") \
                 and not self.is_initializing():

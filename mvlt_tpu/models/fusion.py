@@ -358,8 +358,12 @@ class FusionEncoder(nn.Module):
         hidden = emb
         ck, cv = cache["k"], cache["v"]
         for i, layer in enumerate(self.layers):
+            # need_kv passed explicitly: the remat-wrapped layer declares
+            # static_argnums=(5, 6), so every positional arg up to and
+            # including need_kv must be present
             hidden, _, new_cache = layer(
-                hidden, bias, (ck[i], cv[i]), write_pos, deterministic)
+                hidden, bias, (ck[i], cv[i]), write_pos, deterministic,
+                False)
             # write the layer's updated K/V back into the stacked buffer
             # in place (a slice + jnp.stack rebuild would copy the whole
             # 12-layer cache every decode step)

@@ -142,8 +142,12 @@ def greedy_search(model, variables, image_feature, spec: GenerationSpec,
             tok = jnp.argmax(logits, axis=-1)
             score = jnp.max(logits.astype(jnp.float32), axis=-1)
         tok = tok.astype(jnp.int32)
-        # finished sequences emit pad (model.py:933-935)
+        # finished sequences emit pad (model.py:933-935); their score is
+        # zeroed too — the while_loop path exits once all sequences
+        # finish and leaves 0s, so the unrolled path (which keeps
+        # executing body on pad-token steps) must match
         tok = tok * unfinished + spec.pad_token_id * (1 - unfinished)
+        score = score * unfinished.astype(score.dtype)
         return tok, score
 
     ids = jnp.full((B, spec.max_length), spec.pad_token_id, jnp.int32)

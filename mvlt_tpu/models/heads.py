@@ -243,13 +243,18 @@ class CaptionModel(nn.Module):
         return self.encode_forward(feat, caption, learning_strategy,
                                    deterministic)
 
+    def _fuse(self, image_feature, caption, deterministic: bool):
+        """Shared seq2seq fusion pass (one definition for encode_forward
+        and the gather-k loss path)."""
+        text_mask = caption > 0
+        image_mask = jnp.ones(image_feature.shape[:2], bool)
+        return self.fusion(caption, text_mask, image_feature, image_mask,
+                           seq2seq_mask=True, deterministic=deterministic)
+
     def encode_forward(self, image_feature, caption,
                        learning_strategy: str = "unilm",
                        deterministic: bool = True):
-        text_mask = caption > 0
-        image_mask = jnp.ones(image_feature.shape[:2], bool)
-        out = self.fusion(caption, text_mask, image_feature, image_mask,
-                          seq2seq_mask=True, deterministic=deterministic)
+        out = self._fuse(image_feature, caption, deterministic)
         text_out = out.text_output()
         if learning_strategy == "unilm":
             return self.mlm_head_seq2seq(text_out)
@@ -269,10 +274,7 @@ class CaptionModel(nn.Module):
             # 'normal' (shift-by-one) strategy labels every position, so
             # it keeps the full-sequence logits.
             feat = self.conv(image, deterministic)
-            text_mask = caption > 0
-            image_mask = jnp.ones(feat.shape[:2], bool)
-            out = self.fusion(caption, text_mask, feat, image_mask,
-                              seq2seq_mask=True, deterministic=deterministic)
+            out = self._fuse(feat, caption, deterministic)
             hid, lab = gather_label_positions(out.text_output(), labels,
                                               cfg.mlm_gather_k)
             logits = self.mlm_head_seq2seq(hid)

@@ -57,6 +57,8 @@ class TaskRunner:
         self.state = None
         self.shardings = None
         self._compiled: Dict[Any, Any] = {}
+        self._host_step = None          # synced lazily from state.step
+        self._window_samples = 0
 
     def compiled(self, key, factory):
         """Process-lifetime cache for jitted eval/decode functions.
@@ -112,6 +114,7 @@ class TaskRunner:
             return False
         self.state, ok = ckpt_lib.restore_checkpoint(self.workdir, self.state)
         if ok:
+            self._host_step = None      # resync the host counter
             self.logger.info("restored checkpoint at step %d",
                              int(self.state.step))
         return ok
@@ -121,12 +124,25 @@ class TaskRunner:
             ckpt_lib.save_checkpoint(self.workdir, self.state, keep=keep)
 
     def log_step(self, metrics: Dict, samples: int) -> None:
-        step = int(self.state.step)
-        out = self.metrics.step(step, metrics, samples)
-        if step % max(1, self.train_config.log_every) == 0:
-            parts = " ".join(f"{k}={v:.4f}" for k, v in out.items()
-                             if k != "step")
-            self.logger.info("step %d: %s", step, parts)
+        # Host-side step counter: `int(self.state.step)` (or float() on a
+        # device metric) blocks until the just-dispatched step finishes,
+        # which would serialize host dispatch with device compute on
+        # EVERY step. Metrics are only fetched on log_every boundaries,
+        # with step time averaged over the whole window.
+        if self._host_step is None:
+            self._host_step = int(self.state.step)
+        else:
+            self._host_step += 1
+        step = self._host_step
+        self._window_samples += samples
+        every = max(1, self.train_config.log_every)
+        if step % every != 0:
+            return
+        out = self.metrics.step(step, metrics, self._window_samples)
+        self._window_samples = 0
+        parts = " ".join(f"{k}={v:.4f}" for k, v in out.items()
+                         if k != "step")
+        self.logger.info("step %d: %s", step, parts)
 
 
 def _merge_pretrained(variables, pretrained, logger):

@@ -80,5 +80,12 @@ def train_vqa(runner: TaskRunner, train_ds, valid_ds=None, test_ds=None,
         elif (epoch + 1) % tc.checkpoint_every_epochs == 0:
             runner.save()
     if test_ds is not None:
+        # last-epoch weights ("vqa final results", run_vqa.py:294-297)
+        best["test_final"] = eval_vqa(runner, test_ds, tc.batch_size)
+        # headline: reload the best-valid checkpoint for the test run
+        # ("pick the best in valid set", run_vqa.py:300-307) — without
+        # the restore this would silently report last-epoch weights
+        if valid_ds is not None and runner.workdir and best["epoch"] >= 0:
+            runner.maybe_restore()
         best["test"] = eval_vqa(runner, test_ds, tc.batch_size)
     return best

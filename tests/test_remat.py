@@ -43,3 +43,27 @@ def test_remat_forward_and_grad_match():
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_remat_decode_step_runs():
+    """decode_step under remat_fusion=True: the remat-wrapped layer's
+    static_argnums require every positional arg (incl. need_kv) — this
+    used to raise ValueError inside jax.remat."""
+    import dataclasses
+    from mvlt_tpu.models.generation import GenerationSpec, greedy_search
+    from mvlt_tpu.models.heads import CaptionModel
+
+    cfg = dataclasses.replace(
+        _cfg(remat_fusion=True, is_decoder=True),
+        conv="linear", max_length=6, cls_token_id=3, sep_token_id=4,
+        eos_token_id=5, mask_token_id=6, pad_token_id=0)
+    model = CaptionModel(cfg)
+    img = jnp.asarray(np.random.default_rng(1).normal(
+        size=(2, 3, 32, 32)).astype(np.float32))
+    txt = jnp.ones((2, 5), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), img, txt)
+    feat = model.apply(variables, img,
+                       method=lambda m, im: m.encode_image(im))
+    spec = GenerationSpec.from_config(cfg, num_beams=1)
+    ids, scores = greedy_search(model, variables, feat, spec)
+    assert ids.shape[0] == 2 and np.isfinite(np.asarray(scores)).all()
