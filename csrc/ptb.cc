@@ -18,7 +18,9 @@ namespace {
 
 const std::unordered_set<std::string>& punct_set() {
   static const std::unordered_set<std::string> kPunct = {
-      "''", "'", "``", "`", "-lrb-", "-rrb-", "-lcb-", "-rcb-",
+      "''", "'", "``", "`",
+      // case-sensitive, like the reference filter over lowercased
+      // output (ptbtokenizer.py:21-22): "-lrb-" etc. are KEPT
       "-LRB-", "-RRB-", "-LCB-", "-RCB-",
       ".", "?", "!", ",", ":", "-", "--", "...", ";"};
   return kPunct;

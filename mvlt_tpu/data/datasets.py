@@ -225,11 +225,19 @@ class PretrainDataset:
         itm_label = 1
         if self.itm_task and rng.random() >= 0.5:
             itm_label = 0
-            while True:
+            # bounded rejection sampling (the reference's while True,
+            # run_pretrain.py:90-93): a degenerate source where no valid
+            # negative exists must error, not hang the loader thread
+            for _try in range(1000):
                 rand_index = int(rng.integers(0, len(self)))
                 r_im, r_cap, r_img_id, r_cap_id = self.source[rand_index]
                 if rand_index != index and cap_id != r_cap_id:
                     break
+            else:
+                raise ValueError(
+                    "ITM negative sampling found no sample with a "
+                    "different cap_id in 1000 draws — the source is too "
+                    "small or degenerate for itm_task=True")
             if rng.random() < 0.5:
                 im_np = r_im
             else:
@@ -422,11 +430,15 @@ class RetrievalDataset:
         if self.split == "train":
             rng = T.sample_rng(self.seed, epoch, index)
             im_gt, cap_gt, _, cap_id = self.source[index]
-            while True:
+            for _try in range(1000):
                 rand_index = int(rng.integers(0, self.img_num))
                 r_im, r_cap, _, r_cap_id = self.source[rand_index]
                 if rand_index != index and cap_id != r_cap_id:
                     break
+            else:
+                raise ValueError(
+                    "retrieval negative sampling found no sample with a "
+                    "different cap_id in 1000 draws — source too small")
             if self.swap == "image" or rng.random() < 0.5:
                 im_neg, cap_neg = r_im, cap_gt
             else:

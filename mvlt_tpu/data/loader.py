@@ -55,9 +55,12 @@ class DataLoader:
             from mvlt_tpu.data.transforms import sample_rng
             rng = sample_rng(self.seed, epoch, 0, tag=1)
             rng.shuffle(idx)
-        # host shard: contiguous strided slice so every host sees an equal
-        # number of batches
-        return idx[self.process_index::self.process_count]
+        # host shard: truncate to a multiple of process_count FIRST so
+        # every host sees exactly the same number of indices (and hence
+        # batches) — a bare strided slice gives ceil vs floor counts and
+        # desyncs multi-host SPMD steps (collective deadlock)
+        n_even = n - n % self.process_count
+        return idx[:n_even][self.process_index::self.process_count]
 
     def batches_per_epoch(self) -> int:
         n = len(self._indices(0))
@@ -69,6 +72,19 @@ class DataLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # bounded put that re-checks stop: a consumer that abandons
+            # the iterator mid-epoch would otherwise leave the producer
+            # blocked in Queue.put forever (leaking the thread, its pool
+            # and the prefetched batches)
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             with ThreadPoolExecutor(self.num_threads) as pool:
                 for b in range(nb):
@@ -77,8 +93,9 @@ class DataLoader:
                     chunk = idx[b * self.batch_size:(b + 1) * self.batch_size]
                     fetch = lambda i: self.dataset.__getitem__(int(i), epoch)
                     samples = list(pool.map(fetch, chunk))
-                    out_q.put(_collate(samples))
-            out_q.put(None)
+                    if not put(_collate(samples)):
+                        return
+            put(None)
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()

@@ -69,12 +69,15 @@ def train_augment_imagenet(pil_image, rng: np.random.Generator,
                            resize: int = 256, crop: int = 224) -> np.ndarray:
     """Resize-shorter-side + random crop + hflip + ImageNet normalize
     (run_report_generation_cxr.py:23-29)."""
+    from PIL import Image
     w, h = pil_image.size
     if w <= h:
         nw, nh = resize, max(1, round(h * resize / w))
     else:
         nh, nw = resize, max(1, round(w * resize / h))
-    im = pil_image.resize((nw, nh))
+    # torchvision Resize defaults to BILINEAR; PIL's own default is
+    # BICUBIC — pass it explicitly for input-distribution parity
+    im = pil_image.resize((nw, nh), resample=Image.BILINEAR)
     x0 = int(rng.integers(0, nw - crop + 1))
     y0 = int(rng.integers(0, nh - crop + 1))
     im = im.crop((x0, y0, x0 + crop, y0 + crop))
@@ -86,7 +89,10 @@ def train_augment_imagenet(pil_image, rng: np.random.Generator,
 
 def eval_transform_imagenet(pil_image, size: int = 224) -> np.ndarray:
     """Resize + ImageNet normalize (run_report_generation_cxr.py:30-36)."""
-    arr = np.asarray(pil_image.resize((size, size)), np.float32) / 255.0
+    from PIL import Image
+    arr = np.asarray(pil_image.resize((size, size),
+                                      resample=Image.BILINEAR),
+                     np.float32) / 255.0
     return imagenet_normalize(arr)
 
 

@@ -61,7 +61,11 @@ class CaptionEvaluator:
 def compute_scores(gts: Dict, res: Dict,
                    include_meteor: bool = True) -> Dict[str, float]:
     """R2Gen-style: gts/res {id: [sentence]}, '.' re-spaced, no PTB pass
-    (run_report_generation_cxr.py:274-312)."""
+    (run_report_generation_cxr.py:274-312).
+
+    NOTE the reference re-spaces ONLY the FIRST reference
+    (``gts[key][0] = gts[key][0].replace(...)``, :289-290) — extra
+    references keep their raw spacing.  Quirk preserved verbatim."""
     gts = {k: [v[0].replace(".", " .")] + list(v[1:]) for k, v in gts.items()}
     res = {k: [v[0].replace(".", " .")] for k, v in res.items()}
     out: Dict[str, float] = {}

@@ -116,8 +116,12 @@ def ptb_tokenize(text: str) -> str:
 
 
 def ptb_tokenize_py(text: str) -> str:
+    # NOTE the filter is case-sensitive, exactly like the reference
+    # (ptbtokenizer.py:21-22 lists "-LRB-" etc. UPPERCASE but filters the
+    # -lowerCase Java output): bracket tokens arrive lowercased and are
+    # therefore KEPT in the metric token stream.
     return " ".join(w for w in _ptb_tokenize_line(text)
-                    if w not in _PUNC_SET and w.upper() not in _PUNC_SET)
+                    if w not in _PUNC_SET)
 
 
 def ptb_tokenize_corpus(captions_for_image: Dict) -> Dict[object, List[str]]:

@@ -329,7 +329,12 @@ class WordPieceTokenizer:
 
     def encode(self, text: str) -> List[int]:
         if self._native is not None and text.isascii():
-            return self._native.encode(text)
+            try:
+                return self._native.encode(text)
+            except ValueError:
+                # native output buffer caps at 4096 ids — fall through to
+                # the pure-Python path for pathologically long text
+                pass
         return self.convert_tokens_to_ids(self.tokenize(text))
 
     def decode_tokens(self, tokens: Iterable[str]) -> str:

@@ -56,7 +56,7 @@ def restore_checkpoint(path: str, state: Any) -> Tuple[Any, bool]:
     """Restore into the (already-built, possibly sharded) state. Returns
     (state, restored?)."""
     target = latest_checkpoint(path) if not os.path.basename(path).startswith(
-        "step_") else path
+        "step_") else os.path.abspath(path)   # orbax needs absolute paths
     if target is None:
         return state, False
     template = {"step": state.step, "params": state.params,

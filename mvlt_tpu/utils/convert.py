@@ -168,7 +168,8 @@ def _conv_layer_from_torch(sd: Dict[str, np.ndarray], conv: str, depths=None,
     ``conv.resnet_fc``, modules/model.py:186-236) → our VisualAdapter."""
     out: Dict = {}
     stats = None
-    if conv.lower() in ("swin", "swintransformer"):
+    conv = conv.lower()
+    if conv in ("swin", "swintransformer"):
         out["backbone"] = swin_from_torch(sd, depths, prefix="conv.conv.0.")
     elif conv == "linear":
         # linear_patch_16x16: Conv2d 3->768 k16 s16 + BatchNorm2d + ReLU
@@ -185,6 +186,10 @@ def _conv_layer_from_torch(sd: Dict[str, np.ndarray], conv: str, depths=None,
         variables = resnet_from_torchvision(sd, layers, prefix="conv.conv.0.")
         out["backbone"] = variables["params"]
         stats = {"backbone": variables["batch_stats"]}
+    else:
+        # returning an empty tree would silently leave the backbone at
+        # its random init after the pretrained merge
+        raise NotImplementedError(f"conv layout {conv!r} not convertible")
     if "conv.resnet_fc.weight" in sd:
         out["resnet_fc"] = _dense(sd, "conv.resnet_fc")
     return out, stats

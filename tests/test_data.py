@@ -203,3 +203,50 @@ def test_loader_batching_determinism_and_sharding(tok):
         parts.append(set(dlp._indices(0).tolist()))
     assert parts[0] & parts[1] == set()
     assert parts[0] | parts[1] == set(range(20))
+
+
+@pytest.mark.quick
+def test_loader_host_shards_equal_counts():
+    """All hosts must see the SAME number of indices (a bare strided
+    slice desyncs multi-host collectives on odd dataset sizes)."""
+    from mvlt_tpu.data.loader import DataLoader
+
+    class Tiny:
+        def __len__(self):
+            return 15
+        def __getitem__(self, i, epoch=0):
+            return {"x": np.zeros(2, np.float32)}
+
+    counts = set()
+    for p in range(2):
+        dl = DataLoader(Tiny(), batch_size=4, drop_last=True,
+                        process_index=p, process_count=2)
+        counts.add(len(dl._indices(0)))
+        assert dl.batches_per_epoch() == 1
+    assert len(counts) == 1, counts
+
+
+@pytest.mark.quick
+def test_loader_abandoned_epoch_does_not_leak_producer():
+    """Breaking out of an epoch mid-way must unblock the producer thread
+    (it used to sit in Queue.put forever once the queue filled)."""
+    import threading
+    import time as _time
+    from mvlt_tpu.data.loader import DataLoader
+
+    class Tiny:
+        def __len__(self):
+            return 64
+        def __getitem__(self, i, epoch=0):
+            return {"x": np.zeros(4, np.float32)}
+
+    before = threading.active_count()
+    dl = DataLoader(Tiny(), batch_size=4, prefetch=1, num_threads=2)
+    for _n, _b in enumerate(dl.epoch(0)):
+        if _n == 1:
+            break   # abandon; generator close() runs the finally clause
+    # give the producer time to notice stop and exit
+    deadline = _time.time() + 5.0
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread leaked"

@@ -126,7 +126,9 @@ def test_porter_stemmer_known_values():
 def test_ptb_tokenize():
     assert ptb_tokenize("The heart is normal.") == "the heart is normal"
     assert ptb_tokenize("no acute disease , stable .") == "no acute disease stable"
-    assert ptb_tokenize("it's (mildly) enlarged") == "it 's mildly enlarged"
+    assert ptb_tokenize("it's (mildly) enlarged") == \
+        "it 's -lrb- mildly -rrb- enlarged"   # brackets KEPT: the
+    # reference filter lists "-LRB-" uppercase against lowercased output
     assert ptb_tokenize("don't worry; fine!") == "do n't worry fine"
 
 
