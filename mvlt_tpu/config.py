@@ -291,3 +291,18 @@ class TrainConfig:
     log_every: int = 50
     checkpoint_every_epochs: int = 1
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+
+
+def tiny_config(cfg: "MVLTConfig") -> "MVLTConfig":
+    """Shrink a task config for smoke runs, PRESERVING its semantics —
+    dropouts, task switches and special tokens are kept (only sizes
+    change), so tiny runs exercise the same code paths (masked fused
+    kernels, dropout rng plumbing) as full runs."""
+    return dataclasses.replace(
+        cfg,
+        fusion=dataclasses.replace(
+            cfg.fusion, hidden_size=64, num_hidden_layers=2,
+            num_attention_heads=4, intermediate_size=128),
+        swin=SwinConfig(img_size=32, patch_size=4, embed_dim=16,
+                        depths=(1, 1), num_heads=(2, 4), window_size=4,
+                        drop_path_rate=0.0))

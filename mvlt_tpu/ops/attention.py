@@ -16,14 +16,16 @@ import jax
 import jax.numpy as jnp
 
 
-def _use_pallas(q: jnp.ndarray, bias: Optional[jnp.ndarray]) -> bool:
+def _use_pallas(q: jnp.ndarray, k: jnp.ndarray,
+                bias: Optional[jnp.ndarray]) -> bool:
     if os.environ.get("MVLT_DISABLE_PALLAS"):
         return False
     if jax.default_backend() != "tpu":
         return False
     # Flash path handles seq lens that tile well; small fusion seqs (<=512)
     # are fine on the einsum path, large batches of windows benefit.
-    s_q, s_k = q.shape[-2], bias.shape[-1] if bias is not None else q.shape[-2]
+    s_q = q.shape[-2]
+    s_k = bias.shape[-1] if bias is not None else k.shape[-2]
     return s_q >= 128 and s_k >= 128
 
 
@@ -58,7 +60,7 @@ def multi_head_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                          dropout_rng=None,
                          deterministic: bool = True) -> jnp.ndarray:
     """Dispatching attention entry point.  Shapes (B, H, S, D)."""
-    if (dropout_rate == 0.0 or deterministic) and _use_pallas(q, bias):
+    if (dropout_rate == 0.0 or deterministic) and _use_pallas(q, k, bias):
         from mvlt_tpu.ops import pallas_attn
         out = pallas_attn.flash_attention(q, k, v, bias=bias, scale=scale)
         if out is not None:

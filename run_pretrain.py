@@ -77,13 +77,8 @@ def main():
     cfg = dataclasses.replace(cfg, conv=args.conv, itm_task=args.itm_task,
                               max_length=args.max_length)
     if args.tiny:
-        cfg = dataclasses.replace(
-            cfg,
-            fusion=FusionConfig(hidden_size=64, num_hidden_layers=2,
-                                num_attention_heads=4, intermediate_size=128),
-            swin=SwinConfig(img_size=32, patch_size=4, embed_dim=16,
-                            depths=(1, 1), num_heads=(2, 4), window_size=4,
-                            drop_path_rate=0.0))
+        from mvlt_tpu.config import tiny_config
+        cfg = tiny_config(cfg)
     cfg = cfg.with_tokenizer(tokenizer)
 
     source = build_source(args)

@@ -16,6 +16,21 @@ from mvlt_tpu.utils.platform import honor_jax_platforms
 honor_jax_platforms()
 
 
+def _split_index_path(index_path, split):
+    """Derive a sibling split's pickle path from the train index by
+    renaming only the BASENAME (a whole-path .replace would mangle
+    directories containing 'train' and silently no-op when the substring
+    is absent — evaluating the training set as the test set)."""
+    import os
+    d, base = os.path.split(index_path)
+    if "train" not in base:
+        raise SystemExit(
+            f"cannot derive the {split!r} index from {index_path!r}: "
+            "the filename does not contain 'train' — pass a per-split "
+            "index path explicitly")
+    return os.path.join(d, base.replace("train", split))
+
+
 def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--dataset", default="iu_xray",
@@ -38,7 +53,7 @@ def parse_args():
     p.add_argument("--max_length", type=int, default=None)
     p.add_argument("--model_parallel", type=int, default=1)
     p.add_argument("--tiny", action="store_true")
-    p.add_argument("--do_train", action="store_true", default=True)
+    p.add_argument("--do_train", action="store_true", default=None)
     p.add_argument("--no_train", dest="do_train", action="store_false")
     p.add_argument("--do_test", action="store_true")
     return p.parse_args()
@@ -52,16 +67,19 @@ def build_datasets(args, tokenizer, max_length):
     from mvlt_tpu.data.datasets import (CaptionDataset, CXRAnnotationDataset,
                                         PickleSource, SyntheticSource)
     if args.dataset == "synthetic":
-        mk = lambda split: CaptionDataset(
-            SyntheticSource(n=16, image_size=32 if args.tiny else 224),
+        mk = lambda split, seed: CaptionDataset(
+            SyntheticSource(n=16, image_size=32 if args.tiny else 224,
+                            seed=seed),
             tokenizer, max_length, split,
             learning_strategy=args.learning_strategy)
-        return mk("train"), mk("test")
+        # distinct seeds: an identically-seeded test split would score
+        # memorization of the exact training samples
+        return mk("train", 0), mk("test", 1)
     if args.dataset == "rgc":
         if not args.rgc_index:
             raise SystemExit("--dataset rgc requires --rgc_index")
         mk = lambda split: CaptionDataset(
-            PickleSource(args.rgc_index.replace("train", split)),
+            PickleSource(_split_index_path(args.rgc_index, split)),
             tokenizer, max_length, split,
             learning_strategy=args.learning_strategy)
         return mk("train"), mk("test")
@@ -77,6 +95,11 @@ def build_datasets(args, tokenizer, max_length):
 
 def main():
     args = parse_args()
+    if args.do_train is None:
+        # train by default (reference behavior), but `--do_test` alone
+        # means eval-only — nobody expects an eval invocation to first
+        # run 100 epochs of training
+        args.do_train = not args.do_test
     import jax.numpy as jnp
     from mvlt_tpu.config import (FusionConfig, MeshConfig, MVLTConfig,
                                  SwinConfig, TrainConfig)
@@ -91,13 +114,8 @@ def main():
     cfg = MVLTConfig.for_caption(lr=args.lr, max_length=max_length)
     cfg = dataclasses.replace(cfg, conv=args.conv)
     if args.tiny:
-        cfg = dataclasses.replace(
-            cfg,
-            fusion=FusionConfig(hidden_size=64, num_hidden_layers=2,
-                                num_attention_heads=4, intermediate_size=128),
-            swin=SwinConfig(img_size=32, patch_size=4, embed_dim=16,
-                            depths=(1, 1), num_heads=(2, 4), window_size=4,
-                            drop_path_rate=0.0))
+        from mvlt_tpu.config import tiny_config
+        cfg = tiny_config(cfg)
     cfg = cfg.with_tokenizer(tokenizer)
 
     train_ds, test_ds = build_datasets(args, tokenizer, max_length)

@@ -15,6 +15,21 @@ from mvlt_tpu.utils.platform import honor_jax_platforms
 honor_jax_platforms()
 
 
+def _split_index_path(index_path, split):
+    """Derive a sibling split's pickle path from the train index by
+    renaming only the BASENAME (a whole-path .replace would mangle
+    directories containing 'train' and silently no-op when the substring
+    is absent — evaluating the training set as the test set)."""
+    import os
+    d, base = os.path.split(index_path)
+    if "train" not in base:
+        raise SystemExit(
+            f"cannot derive the {split!r} index from {index_path!r}: "
+            "the filename does not contain 'train' — pass a per-split "
+            "index path explicitly")
+    return os.path.join(d, base.replace("train", split))
+
+
 def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--rgc_index", default=None,
@@ -45,6 +60,8 @@ def parse_args():
 
 def main():
     args = parse_args()
+    if not (args.do_train or args.do_test):
+        raise SystemExit("nothing to do: pass --do_train and/or --do_test")
     import jax.numpy as jnp
     from mvlt_tpu.config import (FusionConfig, MeshConfig, MVLTConfig,
                                  SwinConfig, TrainConfig)
@@ -60,14 +77,8 @@ def main():
     cfg = MVLTConfig.for_retrieval(lr=args.lr, max_length=args.max_length)
     cfg = dataclasses.replace(cfg, conv=args.conv)
     if args.tiny:
-        cfg = dataclasses.replace(
-            cfg,
-            fusion=FusionConfig(hidden_size=64, num_hidden_layers=2,
-                                num_attention_heads=4, intermediate_size=128,
-                                attention_probs_dropout_prob=0.1),
-            swin=SwinConfig(img_size=32, patch_size=4, embed_dim=16,
-                            depths=(1, 1), num_heads=(2, 4), window_size=4,
-                            drop_path_rate=0.0))
+        from mvlt_tpu.config import tiny_config
+        cfg = tiny_config(cfg)
     cfg = cfg.with_tokenizer(tokenizer)
 
     if args.synthetic:
@@ -87,7 +98,7 @@ def main():
             raise SystemExit("no data source: pass --rgc_index, "
                              "--iu_xray_root, or --synthetic")
         src_train = PickleSource(args.rgc_index)
-        src_test = PickleSource(args.rgc_index.replace("train", "test"))
+        src_test = PickleSource(_split_index_path(args.rgc_index, "test"))
     train_ds = RetrievalDataset(src_train, tokenizer, args.max_length,
                                 "train", swap=args.swap)
     test_ds = RetrievalDataset(src_test, tokenizer, args.max_length, "test")

@@ -45,15 +45,8 @@ def build_config(args, tokenizer, result_num):
     cfg = MVLTConfig.for_vqa(result_num=result_num, lr=args.lr)
     cfg = dataclasses.replace(cfg, conv=args.conv)
     if args.tiny:
-        cfg = dataclasses.replace(
-            cfg,
-            fusion=FusionConfig(hidden_size=64, num_hidden_layers=2,
-                                num_attention_heads=4, intermediate_size=128,
-                                hidden_dropout_prob=0.1,
-                                attention_probs_dropout_prob=0.1),
-            swin=SwinConfig(img_size=32, patch_size=4, embed_dim=16,
-                            depths=(1, 1), num_heads=(2, 4), window_size=4,
-                            drop_path_rate=0.0))
+        from mvlt_tpu.config import tiny_config
+        cfg = tiny_config(cfg)
     return cfg.with_tokenizer(tokenizer)
 
 
