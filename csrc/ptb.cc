@@ -59,6 +59,9 @@ bool is_acronym(const std::string& w) {
   }
   if (pairs == 0) return false;
   if (i == w.size()) return true;
+  // duplicated final period after the pairs ('u.s..') — the Python
+  // regex's optional trailing \.? accepts it
+  if (w[i] == '.' && i + 1 == w.size()) return true;
   if (std::isalpha((unsigned char)w[i])) {
     ++i;
     if (i == w.size()) return true;
@@ -176,6 +179,9 @@ std::string ptb_line(const std::string& text) {
     }
     flush_tok();
   }
+  // drop the trailing space so the possessive rule below cannot
+  // fire at end-of-string (Python's regex needs a FOLLOWING space)
+  while (!e.empty() && e.back() == ' ') e.pop_back();
 
   // pass 6: contractions (n't, 'll, 're, 've, 's, 'm, 'd) + possessive
   std::string f;

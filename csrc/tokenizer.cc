@@ -46,9 +46,14 @@ void basic_tokenize(const Tokenizer& tk, const std::string& text,
     }
   };
   for (unsigned char c : text) {
-    if (c == 0 || c == 0xfffd) continue;
-    if (std::isspace(c)) {
+    if (c == 0) continue;
+    if (c == ' ' || c == '\t' || c == '\n' || c == '\r') {
       flush();
+    } else if (c < 0x20 || c == 0x7f) {
+      // other ASCII control chars: DELETED with no word boundary
+      // (BasicTokenizer._clean_text semantics — \x0b inside a word
+      // does NOT split it)
+      continue;
     } else if (is_punct(c)) {
       flush();
       out->push_back(std::string(1, static_cast<char>(c)));
@@ -143,13 +148,18 @@ int mvlt_tokenizer_encode(void* handle, const char* text, int* out,
   std::vector<int> ids;
   std::string s(text);
 
-  // split on whitespace first so bracketed special tokens can be matched
+  // split on TRUE whitespace only (' ', \t, \n, \r) so bracketed
+  // special tokens can be matched; \x0b/\x0c are control chars that
+  // basic_tokenize DELETES inside a word (std::isspace would split)
+  auto is_ws = [](unsigned char c) {
+    return c == ' ' || c == '\t' || c == '\n' || c == '\r';
+  };
   size_t i = 0;
   std::vector<std::string> words;
   while (i < s.size()) {
-    while (i < s.size() && std::isspace(static_cast<unsigned char>(s[i]))) ++i;
+    while (i < s.size() && is_ws(static_cast<unsigned char>(s[i]))) ++i;
     size_t j = i;
-    while (j < s.size() && !std::isspace(static_cast<unsigned char>(s[j]))) ++j;
+    while (j < s.size() && !is_ws(static_cast<unsigned char>(s[j]))) ++j;
     if (j > i) words.push_back(s.substr(i, j - i));
     i = j;
   }

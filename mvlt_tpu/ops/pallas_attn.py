@@ -449,18 +449,6 @@ def _erf_approx(x):
     return sign * (1.0 - poly * jnp.exp(-ax * ax))
 
 
-def _erf_approx3(x):
-    """A&S 7.1.25 3-term rational erf (max abs err 2.5e-5 — two decades
-    below bf16 resolution): two fewer VPU madds than 7.1.26, used on the
-    bf16 fast path only."""
-    a1, a2, a3, p = 0.3480242, -0.0958798, 0.7478556, 0.47047
-    sign = jnp.sign(x)
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + p * ax)
-    poly = t * (a1 + t * (a2 + t * a3))
-    return sign * (1.0 - poly * jnp.exp(-ax * ax))
-
-
 def _softmax_rows(s, fast: bool):
     """Row softmax in f32.  ``fast`` uses the TPU approximate reciprocal
     (~2^-14 relative error) instead of a true divide — bf16 outputs only."""
@@ -1343,10 +1331,25 @@ def _full_fwd(x, params, bias, scale, num_heads, group, interpret,
                                       interpret=interpret, dp=dp,
                                       save_res=True)
     else:
-        out, qkv, ctx = _full_forward_shift(
-            x, tuple(params), bias, scale=scale, num_heads=num_heads,
-            interpret=interpret, shift_spec=shift_spec, dp=dp,
-            save_res=True)
+        # the save-residual shift variant carries the qkv output block on
+        # top of the inference footprint — re-check feasibility with the
+        # with_dp (save-path) accounting even when dp is None (training
+        # with drop_path=0); on failure run the lean forward and let the
+        # backward recompute via the fastcore fallback (qkv=None path)
+        H, W, window, _shift = shift_spec
+        BW, N, C = x.shape
+        nW = (H // window) * (W // window)
+        if dp is not None or shift_kernel_feasible(
+                H, W, window, C, BW // nW, with_dp=True):
+            out, qkv, ctx = _full_forward_shift(
+                x, tuple(params), bias, scale=scale, num_heads=num_heads,
+                interpret=interpret, shift_spec=shift_spec, dp=dp,
+                save_res=True)
+        else:
+            out = _full_forward_shift(
+                x, tuple(params), bias, scale=scale, num_heads=num_heads,
+                interpret=interpret, shift_spec=shift_spec, dp=dp)
+            qkv = ctx = None
     return out, (x, tuple(params), bias, dp, qkv, ctx)
 
 
@@ -2948,13 +2951,10 @@ def swin_attn_half(x, ln1s, ln1b, wqkv, bqkv, wproj, bproj, bias,
     grid = (BW // G,)
     x_spec = pl.BlockSpec((G * N, C), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
-    if nWb > 1:
-        bias_spec = pl.BlockSpec(bias.shape,
-                                 lambda i: (0,) * bias.ndim,
-                                 memory_space=pltpu.VMEM)
-    else:
-        bias_spec = pl.BlockSpec(bias.shape, lambda i: (0,) * bias.ndim,
-                                 memory_space=pltpu.VMEM)
+    # full bias resident regardless of nWb (the kernel indexes patterns
+    # with the grid offset)
+    bias_spec = pl.BlockSpec(bias.shape, lambda i: (0,) * bias.ndim,
+                             memory_space=pltpu.VMEM)
 
     def const_spec(shape):
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
@@ -3302,7 +3302,6 @@ def attention_core_bwd(qkv, dctx, bias, scale: float, num_heads: int,
 
     dqkv = dqkv.reshape(BW0, N0, C3)
     if merged:
-        nH = bias.shape[1] if not merged else dbias_m.shape[1]
         top = dbias_m[:, :, :N0, :N0]
         bot = dbias_m[:, :, N0:, N0:]
         if nWb0 == 1:

@@ -59,7 +59,8 @@ def ptb_tokenize_native(text: str) -> Optional[str]:
         _PTB_PROBES_LEFT = 3
     if not text.isascii():
         return None
-    buf = ctypes.create_string_buffer(max(4096, len(text) * 3 + 16))
+    # worst case ~7x: every '(' expands to ' -LRB- '
+    buf = ctypes.create_string_buffer(max(4096, len(text) * 8 + 16))
     n = _PTB_LIB.mvlt_ptb_tokenize(text.encode(), buf, len(buf))
     if n < 0:
         return None

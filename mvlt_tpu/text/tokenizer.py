@@ -327,8 +327,26 @@ class WordPieceTokenizer:
             return self.ids_to_tokens.get(ids, self.unk_token)
         return [self.ids_to_tokens.get(int(i), self.unk_token) for i in ids]
 
+    def _native_safe(self, text: str) -> bool:
+        """The C++ fast path only matches special tokens as whole
+        whitespace-delimited words (the Python path splits them
+        anywhere); fall back when one is embedded without boundaries."""
+        if not text.isascii():
+            return False
+        if "[" in text:
+            for sp in self.all_special_tokens:
+                start = text.find(sp)
+                while start != -1:
+                    end = start + len(sp)
+                    left_ok = start == 0 or text[start - 1].isspace()
+                    right_ok = end == len(text) or text[end].isspace()
+                    if not (left_ok and right_ok):
+                        return False
+                    start = text.find(sp, end)
+        return True
+
     def encode(self, text: str) -> List[int]:
-        if self._native is not None and text.isascii():
+        if self._native is not None and self._native_safe(text):
             try:
                 return self._native.encode(text)
             except ValueError:

@@ -164,3 +164,30 @@ def test_ptb_hand_verified_goldens():
     }
     for src, want in goldens.items():
         assert ptb_tokenize(src) == want, (src, ptb_tokenize(src))
+
+
+@pytest.mark.quick
+def test_native_parity_edge_cases():
+    """Control chars, possessive-at-EOS, duplicated-final-period
+    acronyms, embedded special tokens, bracket-heavy expansion — the
+    native C++ paths must agree with the Python references."""
+    from mvlt_tpu.metrics.ptb import ptb_tokenize_py
+    from mvlt_tpu.text.native import ptb_tokenize_native
+
+    ptb_cases = ["the dogs'", "seen in the u.s..",
+                 "it's (mildly) enlarged",
+                 'he said "stop" and left.',
+                 "a (b (c) d) e", "(" * 300 + "x"]
+    for s in ptb_cases:
+        n = ptb_tokenize_native(s)
+        if n is not None:                      # lib built
+            assert n == ptb_tokenize_py(s), s
+
+    from mvlt_tpu.text.tokenizer import WordPieceTokenizer
+    tok = WordPieceTokenizer(VOCAB)
+    wp_cases = ["mild\x0bedema", "x\x01y", "del\x7fete", "a\x0c b",
+                "report one[SEP]report two", "a [SEP] b",
+                "w" * 5000]
+    for s in wp_cases:
+        assert tok.encode(s) == tok.convert_tokens_to_ids(tok.tokenize(s)), \
+            repr(s[:30])
