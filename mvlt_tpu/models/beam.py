@@ -29,7 +29,6 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-NEG_INF = -1.0e9
 
 
 @jax.tree_util.register_dataclass

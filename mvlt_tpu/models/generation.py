@@ -136,10 +136,15 @@ def greedy_search(model, variables, image_feature, spec: GenerationSpec,
     def pick(logits, unfinished, key):
         if spec.sample:
             tok = jax.random.categorical(key, logits.astype(jnp.float32), axis=-1)
-            score = jnp.take_along_axis(jax.nn.log_softmax(logits, -1),
-                                        tok[:, None], axis=1)[:, 0]
+            score = jnp.take_along_axis(
+                jax.nn.log_softmax(logits.astype(jnp.float32), -1),
+                tok[:, None], axis=1)[:, 0]
         else:
             tok = jnp.argmax(logits, axis=-1)
+            # NOTE greedy scores are RAW max logits while sampling returns
+            # log-probs — the reference has the same asymmetry
+            # (model.py:897 torch.max(next_token_logits) vs :904 gather of
+            # log_softmax); kept for parity
             score = jnp.max(logits.astype(jnp.float32), axis=-1)
         tok = tok.astype(jnp.int32)
         # finished sequences emit pad (model.py:933-935); their score is

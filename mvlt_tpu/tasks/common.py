@@ -120,7 +120,11 @@ class TaskRunner:
         return ok
 
     def save(self, keep: int = 3) -> None:
-        if self.workdir and jax.process_index() == 0:
+        # ALL processes must enter the save: orbax's sharded-array write
+        # is a collective (each host writes its addressable shards;
+        # gating on process 0 would deadlock multi-host runs and cannot
+        # serialize non-addressable shards)
+        if self.workdir:
             ckpt_lib.save_checkpoint(self.workdir, self.state, keep=keep)
 
     def log_step(self, metrics: Dict, samples: int) -> None:

@@ -47,7 +47,11 @@ def save_checkpoint(path: str, state: Any, step: Optional[int] = None,
 def latest_checkpoint(path: str) -> Optional[str]:
     if not os.path.isdir(path):
         return None
-    steps = sorted(d for d in os.listdir(path) if d.startswith("step_"))
+    # skip orbax step_N.orbax-checkpoint-tmp-<ts> leftovers from an
+    # interrupted save: restoring one raises, and counting them
+    # toward keep silently prunes real checkpoints
+    steps = sorted(d for d in os.listdir(path)
+                   if d.startswith("step_") and "-tmp-" not in d)
     # orbax requires absolute paths (tensorstore kvstore spec)
     return os.path.join(os.path.abspath(path), steps[-1]) if steps else None
 
@@ -69,7 +73,11 @@ def restore_checkpoint(path: str, state: Any) -> Tuple[Any, bool]:
 def _prune(path: str, keep: int) -> None:
     if not os.path.isdir(path):
         return
-    steps = sorted(d for d in os.listdir(path) if d.startswith("step_"))
+    # skip orbax step_N.orbax-checkpoint-tmp-<ts> leftovers from an
+    # interrupted save: restoring one raises, and counting them
+    # toward keep silently prunes real checkpoints
+    steps = sorted(d for d in os.listdir(path)
+                   if d.startswith("step_") and "-tmp-" not in d)
     for d in steps[:-keep] if keep > 0 else []:
         import shutil
         shutil.rmtree(os.path.join(path, d), ignore_errors=True)

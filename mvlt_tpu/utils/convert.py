@@ -163,7 +163,7 @@ def swin_from_torch(sd: Dict[str, np.ndarray], depths, prefix: str = "") -> Dict
 # ---------------------------------------------------------------------------
 
 def _conv_layer_from_torch(sd: Dict[str, np.ndarray], conv: str, depths=None,
-                           layers=None) -> Dict:
+                           layers=None) -> tuple:
     """Reference ``Conv_layer`` subtree (``conv.conv.0.<backbone>`` +
     ``conv.resnet_fc``, modules/model.py:186-236) → our VisualAdapter."""
     out: Dict = {}
