@@ -87,3 +87,15 @@ def test_pretrained_export_roundtrip(tiny_state, tmp_path_factory):
                        jnp.ones((1, 4), jnp.int32))
     np.testing.assert_allclose(np.asarray(out1[1]), np.asarray(out2[1]),
                                atol=1e-6)
+
+
+def test_interrupted_save_tmp_dirs_ignored(tmp_path):
+    """Orbax step_N.orbax-checkpoint-tmp-<ts> leftovers must not be
+    restored or counted toward keep."""
+    import os
+    from mvlt_tpu.utils.checkpoint import latest_checkpoint
+
+    os.makedirs(tmp_path / "step_00000005")
+    os.makedirs(tmp_path / "step_00000007.orbax-checkpoint-tmp-12345")
+    got = latest_checkpoint(str(tmp_path))
+    assert got is not None and got.endswith("step_00000005")

@@ -216,3 +216,19 @@ def test_suffix_reorder_matches_full_gather(setup):
     for a, b in zip(full, suffix):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_sampling_bf16_model(setup):
+    """Sampling with a bf16 model: the log-softmax score gather must cast
+    to f32 before writing into the f32 scores buffer."""
+    model_bf16 = CaptionModel(CFG, dtype=jnp.bfloat16)
+    img = jnp.asarray(np.random.RandomState(0).randn(*IMG), jnp.float32)
+    txt = jnp.ones((B, 5), jnp.int32)
+    variables = model_bf16.init(jax.random.PRNGKey(0), img, txt)
+    feat = model_bf16.apply(variables, img,
+                            method=lambda m, im: m.encode_image(im))
+    spec = GenerationSpec.from_config(CFG, num_beams=1, sample=True)
+    ids, scores = greedy_search(model_bf16, variables, feat, spec,
+                                jax.random.PRNGKey(3))
+    assert scores.dtype == jnp.float32
+    assert np.isfinite(np.asarray(scores)).all()
