@@ -128,12 +128,28 @@ class SelfAttention(nn.Module):
             else:                                    # seq2seq (B,1,S,S)
                 kbias = jnp.zeros((B, S), jnp.float32)
                 qbias = bias[:, 0]
-            amask = hmask = None
+            amask = hmask = adrop_seed = None
+            adrop_rate = 0.0
             if not deterministic and cfg.attention_probs_dropout_prob > 0:
-                keep = 1.0 - cfg.attention_probs_dropout_prob
-                amask = (jax.random.bernoulli(
-                    self.make_rng("dropout"), keep, (B, nH, S, S))
-                    .astype(cdt) / keep)
+                # MVLT_KERNEL_DROPOUT=1 (bf16, native): the attention-
+                # dropout mask is drawn INSIDE the kernels (forward and
+                # backward regenerate the same pltpu PRNG stream) —
+                # no (B, nH, S, S) mask generation or HBM traffic.
+                # On-chip validated only; default stays the explicit
+                # mask until measured (tests/test_tpu_parity.py).
+                if (os.environ.get("MVLT_KERNEL_DROPOUT")
+                        and cdt == jnp.bfloat16 and not interp):
+                    adrop_rate = float(cfg.attention_probs_dropout_prob)
+                    seed_i32 = jax.random.randint(
+                        self.make_rng("dropout"), (1,), -2 ** 31,
+                        2 ** 31 - 1, jnp.int32)
+                    adrop_seed = jax.lax.bitcast_convert_type(
+                        seed_i32, jnp.float32)
+                else:
+                    keep = 1.0 - cfg.attention_probs_dropout_prob
+                    amask = (jax.random.bernoulli(
+                        self.make_rng("dropout"), keep, (B, nH, S, S))
+                        .astype(cdt) / keep)
             if not deterministic and cfg.hidden_dropout_prob > 0:
                 keep = 1.0 - cfg.hidden_dropout_prob
                 hmask = (jax.random.bernoulli(
@@ -145,7 +161,14 @@ class SelfAttention(nn.Module):
             tail = (ln["scale"].astype(jnp.float32),
                     ln["bias"].astype(jnp.float32), Dh ** -0.5, nH,
                     cfg.layer_norm_eps, 8, interp)
-            if qbias is None and amask is None and hmask is None:
+            if adrop_rate > 0.0:
+                from mvlt_tpu.ops.pallas_attn import fused_attn_ln_adrop
+                # positional call: custom_vjp + kwargs don't mix
+                out = fused_attn_ln_adrop(
+                    *args, qbias, hmask, tail[0], tail[1], adrop_seed,
+                    tail[2], tail[3], adrop_rate, tail[4], tail[5],
+                    tail[6])
+            elif qbias is None and amask is None and hmask is None:
                 out = fused_attn_ln(*args, *tail)
             else:
                 out = fused_attn_ln_masked(*args, qbias, amask, hmask,

@@ -1914,24 +1914,46 @@ window_block_attention.defvjp(_block_fwd, _block_bwd)
 # (reference modules/model.py:28 BertEncoder semantics; HF post-LN layout)
 # ---------------------------------------------------------------------------
 
+def _adrop_mask(seed_ref, sample: int, head: int, n: int, rate: float):
+    """Regenerable in-kernel attention-dropout mask: values 0 or 1/keep,
+    seeded by (step seed, ABSOLUTE sample index, head) so the backward
+    kernel reproduces the forward's draw bit-exactly regardless of how
+    either kernel groups samples per program."""
+    from jax.experimental.pallas import tpu as _pltpu
+    seed = jax.lax.bitcast_convert_type(seed_ref[0], jnp.int32)
+    _pltpu.prng_seed(seed, sample, head)
+    bits = _pltpu.bitcast(_pltpu.prng_random_bits((n, n)), jnp.uint32)
+    keep = 1.0 - rate
+    thresh = jnp.uint32(min(int(keep * 2 ** 32), 2 ** 32 - 1))
+    return jnp.where(bits < thresh, jnp.float32(1.0 / keep),
+                     jnp.float32(0.0))
+
+
 def _attn_ln_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
                     kbias_ref, *rest, scale: float, num_heads: int,
                     seq_n: int, eps: float, fast: bool = False,
                     has_qbias: bool = False, has_amask: bool = False,
-                    has_hmask: bool = False, save_res: bool = False):
+                    has_hmask: bool = False, save_res: bool = False,
+                    adrop_rate: float = 0.0, save_amask: bool = False):
     """Post-LN attention half.  Optional refs (in order, when the flags
     are set): ``qbias`` (G, N, N) per-sample additive attention bias
     (seq2seq/UniLM masks), ``amask`` (G, nH, N, N) multiplicative
     attention-probability dropout mask (0 or 1/keep), ``hmask`` (G*N, C)
     multiplicative hidden-dropout mask applied to the projected output
-    before the residual — HF Bert dropout placement.
+    before the residual — HF Bert dropout placement; ``adrop_seed``
+    (1,) f32-bitcast seed when ``adrop_rate > 0`` (in-kernel dropout
+    mask generation — mutually exclusive with ``amask``).
 
     ``save_res``: QKV and ctx become outputs (residuals for the
-    store-residual backward; ctx_ref doubles as the output)."""
+    store-residual backward; ctx_ref doubles as the output).
+    ``save_amask``: the generated dropout mask becomes a trailing debug
+    output (on-chip parity tests)."""
     rest = list(rest)
     qbias_ref = rest.pop(0) if has_qbias else None
     amask_ref = rest.pop(0) if has_amask else None
     hmask_ref = rest.pop(0) if has_hmask else None
+    adrop_ref = rest.pop(0) if adrop_rate > 0.0 else None
+    amask_out_ref = rest.pop() if save_amask else None
     if save_res:
         lns_ref, lnb_ref, o_ref, qkv_ref, ctx_ref = rest
     else:
@@ -1961,7 +1983,7 @@ def _attn_ln_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
             q = rows[:, hh * Dh:(hh + 1) * Dh]
             k = rows[:, C + hh * Dh:C + (hh + 1) * Dh]
             v = rows[:, 2 * C + hh * Dh:2 * C + (hh + 1) * Dh]
-            if has_qbias or has_amask:
+            if has_qbias or has_amask or adrop_rate > 0.0:
                 if fast:
                     s = jax.lax.dot_general(
                         q, k, (((1,), (1,)), ((), ())),
@@ -1977,6 +1999,11 @@ def _attn_ln_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
                 p = _softmax_rows(s, fast)
                 if has_amask:
                     p = p * amask_ref[g, hh].astype(jnp.float32)
+                if adrop_rate > 0.0:
+                    m = _adrop_mask(adrop_ref, base + g, hh, N, adrop_rate)
+                    p = p * m
+                    if save_amask:
+                        amask_out_ref[g, hh] = m
                 ctx = jax.lax.dot_general(
                     p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
@@ -2020,11 +2047,17 @@ def _attn_ln_xla_ref(x, wqkv, bqkv, wproj, bproj, kbias, lns, lnb, scale,
 
 def _attn_ln_impl(x, wqkv, bqkv, wproj, bproj, kbias, qbias, amask, hmask,
                   lns, lnb, scale, num_heads, eps, group, interpret,
-                  save_res=False):
+                  save_res=False, adrop=None, save_amask=False):
     """Shared forward: qbias/amask/hmask may be None (specs and kernel
     flags are built accordingly).  ``save_res=True`` additionally returns
     the in-kernel QKV (B, N_pad, 3C) and ctx (B, N_pad, C) residuals
-    (padded layout — the backward works on padded arrays)."""
+    (padded layout — the backward works on padded arrays).
+
+    ``adrop``: (seed (1,) f32-bitcast array, rate) for IN-KERNEL
+    attention-dropout mask generation (pltpu PRNG; NOT interpretable on
+    CPU — on-chip tests only).  Mutually exclusive with ``amask``.
+    ``save_amask`` appends the generated (B, nH, N_pad, N_pad) f32 mask
+    as a trailing debug output."""
     B, N, C = x.shape
     N_pad = -(-N // 8) * 8
     if N_pad != N:
@@ -2078,6 +2111,9 @@ def _attn_ln_impl(x, wqkv, bqkv, wproj, bproj, kbias, qbias, amask, hmask,
     if hmask is not None:
         in_specs.append(x_spec)
         operands.append(hmask.reshape(B * N_pad, C))
+    if adrop is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(adrop[0])
     in_specs += [const_spec(lns.shape), const_spec(lnb.shape)]
     operands += [lns, lnb]
 
@@ -2092,12 +2128,22 @@ def _attn_ln_impl(x, wqkv, bqkv, wproj, bproj, kbias, qbias, amask, hmask,
                      jax.ShapeDtypeStruct((B * N_pad, 3 * C), x.dtype),
                      jax.ShapeDtypeStruct(x2.shape, x.dtype))
         scratch = []
+    if save_amask:
+        assert save_res and adrop is not None
+        am_spec = pl.BlockSpec((G, num_heads, N_pad, N_pad),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+        out_specs = out_specs + (am_spec,)
+        out_shape = out_shape + (jax.ShapeDtypeStruct(
+            (B, num_heads, N_pad, N_pad), jnp.float32),)
     out = pl.pallas_call(
         functools.partial(
             _attn_ln_kernel, scale=scale, num_heads=num_heads, seq_n=N_pad,
             eps=eps, fast=(x.dtype == jnp.bfloat16 and not interpret),
             has_qbias=qbias is not None, has_amask=amask is not None,
-            has_hmask=hmask is not None, save_res=save_res),
+            has_hmask=hmask is not None, save_res=save_res,
+            adrop_rate=(adrop[1] if adrop is not None else 0.0),
+            save_amask=save_amask),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -2105,10 +2151,13 @@ def _attn_ln_impl(x, wqkv, bqkv, wproj, bproj, kbias, qbias, amask, hmask,
         scratch_shapes=scratch,
         interpret=interpret,
     )(*operands)
+    if save_amask:
+        *out, amask_dbg = out
     if save_res:
         out, qkv, ctx = out
-        return (out.reshape(B, N_pad, C)[:, :N],
+        res3 = (out.reshape(B, N_pad, C)[:, :N],
                 qkv.reshape(B, N_pad, 3 * C), ctx.reshape(B, N_pad, C))
+        return res3 + ((amask_dbg,) if save_amask else ())
     return out.reshape(B, N_pad, C)[:, :N]
 
 
@@ -2140,7 +2189,8 @@ def _attn_ln_fwd(x, wqkv, bqkv, wproj, bproj, kbias, lns, lnb, scale,
 def _seq_core_bwd_kernel(qkv_ref, dctx_ref, kbias_ref, *rest,
                          scale: float, num_heads: int, seq_n: int,
                          fast: bool = False, has_qbias: bool = False,
-                         has_amask: bool = False):
+                         has_amask: bool = False,
+                         adrop_rate: float = 0.0):
     """Backward of the per-sample attention core at sequence geometry.
 
     The XLA formulation of this vjp materializes five (B, nH, N, N)
@@ -2159,6 +2209,7 @@ def _seq_core_bwd_kernel(qkv_ref, dctx_ref, kbias_ref, *rest,
     rest = list(rest)
     qbias_ref = rest.pop(0) if has_qbias else None
     amask_ref = rest.pop(0) if has_amask else None
+    adrop_ref = rest.pop(0) if adrop_rate > 0.0 else None
     dqkv_ref, dkb_ref = rest
 
     GN, C3 = qkv_ref.shape
@@ -2207,6 +2258,10 @@ def _seq_core_bwd_kernel(qkv_ref, dctx_ref, kbias_ref, *rest,
             if has_amask:
                 am = amask_ref[g, hh].astype(jnp.float32)
                 pa = p * am
+            elif adrop_rate > 0.0:
+                # regenerate the forward's dropout draw bit-exactly
+                am = _adrop_mask(adrop_ref, base + g, hh, N, adrop_rate)
+                pa = p * am
             else:
                 am, pa = None, p
             pa_d = pa.astype(dt) if fast else pa
@@ -2215,7 +2270,7 @@ def _seq_core_bwd_kernel(qkv_ref, dctx_ref, kbias_ref, *rest,
                                       preferred_element_type=jnp.float32)
             dv = jax.lax.dot_general(pa_d, dctx_d, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
-            dp = dpa * am if has_amask else dpa
+            dp = dpa * am if am is not None else dpa
             pdp = p * dp
             rd = jax.lax.dot_general(pdp, ones, (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
@@ -2255,7 +2310,8 @@ def _seq_core_bwd_kernel(qkv_ref, dctx_ref, kbias_ref, *rest,
 
 
 def seq_attention_core_bwd(qkv, dctx, kbias, qbias, amask, scale: float,
-                           num_heads: int, interpret: bool = False):
+                           num_heads: int, interpret: bool = False,
+                           adrop=None):
     """VJP of the sequence attention core wrt (qkv, kbias).
 
     ``ctx = (softmax(q k^T * scale + kbias [+ qbias]) [* amask]) v`` per
@@ -2294,11 +2350,15 @@ def seq_attention_core_bwd(qkv, dctx, kbias, qbias, amask, scale: float,
                                      lambda i: (i, 0, 0, 0),
                                      memory_space=pltpu.VMEM))
         operands.append(amask)
+    if adrop is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(adrop[0])
     dqkv, dkb = pl.pallas_call(
         functools.partial(
             _seq_core_bwd_kernel, scale=scale, num_heads=num_heads,
             seq_n=N, fast=(qkv.dtype == jnp.bfloat16 and not interpret),
-            has_qbias=qbias is not None, has_amask=amask is not None),
+            has_qbias=qbias is not None, has_amask=amask is not None,
+            adrop_rate=(adrop[1] if adrop is not None else 0.0)),
         grid=grid,
         in_specs=in_specs,
         out_specs=(row_spec(C3),
@@ -2320,8 +2380,13 @@ def _attn_ln_bwd_stored(scale, num_heads, eps, res, g, interpret=False):
     :func:`seq_attention_core_bwd` (score tensors stay in VMEM) on the
     bf16 path, as standard BERT-shaped XLA einsums otherwise.  All other
     recompute is elementwise."""
-    (x, wqkv, bqkv, wproj, bproj, kbias, qbias, amask, hmask, lns, lnb,
-     qkv, ctx) = res
+    adrop = None
+    if len(res) == 14:                  # fused_attn_ln_adrop residuals
+        (x, wqkv, bqkv, wproj, bproj, kbias, qbias, amask, hmask, lns,
+         lnb, qkv, ctx, adrop) = res
+    else:
+        (x, wqkv, bqkv, wproj, bproj, kbias, qbias, amask, hmask, lns,
+         lnb, qkv, ctx) = res
     B, N, C = x.shape
     dt = x.dtype
     Dh = C // num_heads
@@ -2376,12 +2441,13 @@ def _attn_ln_bwd_stored(scale, num_heads, eps, res, g, interpret=False):
 
         dQKV, dkbias = seq_attention_core_bwd(
             qkv, dctx.reshape(B, N_pad, C), kbias, qbias, amask, scale,
-            num_heads, interpret=interpret)
+            num_heads, interpret=interpret, adrop=adrop)
         dQKV2_d = dQKV.reshape(-1, 3 * C)
         dwqkv = mm(x2.astype(dt).T, dQKV2_d)
         dbqkv = dQKV2_d.astype(jnp.float32).sum(0)
         dx2 = mm(dQKV2_d, wqkv.astype(dt).T)
     else:
+        assert adrop is None, "in-kernel attention dropout is bf16-only"
         dwproj = ctx2.astype(jnp.float32).T @ da
         dbproj = da.sum(0)
         dctx = (da @ wproj.astype(jnp.float32).T).astype(dt)
@@ -2474,6 +2540,52 @@ def _attn_ln_masked_bwd(scale, num_heads, eps, group, interpret, res, g):
 
 
 fused_attn_ln_masked.defvjp(_attn_ln_masked_fwd, _attn_ln_masked_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14, 15, 16))
+def fused_attn_ln_adrop(x, wqkv, bqkv, wproj, bproj, kbias, qbias, hmask,
+                        lns, lnb, adrop_seed, scale: float, num_heads: int,
+                        adrop_rate: float, eps: float = 1e-12,
+                        group: int = 8, interpret: bool = False):
+    """:func:`fused_attn_ln_masked` with IN-KERNEL attention dropout:
+    instead of reading a (B, nH, N, N) mask from HBM, the kernel draws it
+    from the pltpu PRNG seeded by (``adrop_seed``, absolute sample, head)
+    and the backward kernel regenerates the identical draw — no mask
+    generation, no mask HBM traffic (~3x the mask bytes per step).
+
+    ``adrop_seed``: (1,) float32 BITCAST of an int32 seed (float dtype
+    keeps custom_vjp cotangent plumbing trivial; the kernel bitcasts it
+    back).  bf16-only training fast path; pltpu PRNG does not interpret
+    on CPU, so tests are on-chip (tests/test_tpu_parity.py)."""
+    return _attn_ln_impl(x, wqkv, bqkv, wproj, bproj, kbias, qbias, None,
+                         hmask, lns, lnb, scale, num_heads, eps, group,
+                         interpret, adrop=(adrop_seed, adrop_rate))
+
+
+def _attn_ln_adrop_fwd(x, wqkv, bqkv, wproj, bproj, kbias, qbias, hmask,
+                       lns, lnb, adrop_seed, scale, num_heads, adrop_rate,
+                       eps, group, interpret):
+    out, qkv, ctx = _attn_ln_impl(
+        x, wqkv, bqkv, wproj, bproj, kbias, qbias, None, hmask, lns, lnb,
+        scale, num_heads, eps, group, interpret, save_res=True,
+        adrop=(adrop_seed, adrop_rate))
+    return out, (x, wqkv, bqkv, wproj, bproj, kbias, qbias, None, hmask,
+                 lns, lnb, qkv, ctx, (adrop_seed, adrop_rate))
+
+
+def _attn_ln_adrop_bwd(scale, num_heads, adrop_rate, eps, group, interpret,
+                       res, g):
+    qbias, hmask = res[6], res[8]
+    adrop_seed = res[13][0]
+    (dx, dwqkv, dbqkv, dwproj, dbproj, dkbias, dlns, dlnb) = \
+        _attn_ln_bwd_stored(scale, num_heads, eps, res, g,
+                            interpret=interpret)
+    zero = lambda a: None if a is None else jnp.zeros_like(a)
+    return (dx, dwqkv, dbqkv, dwproj, dbproj, dkbias, zero(qbias),
+            zero(hmask), dlns, dlnb, jnp.zeros_like(adrop_seed))
+
+
+fused_attn_ln_adrop.defvjp(_attn_ln_adrop_fwd, _attn_ln_adrop_bwd)
 
 
 def _mlp_ln_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, *rest,

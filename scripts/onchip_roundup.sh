@@ -26,6 +26,10 @@ echo "== 5. pretrain step throughput (bench line)"
 timeout 900 python bench.py --mode pretrain \
     2>&1 | tail -3 | tee /tmp/roundup/pretrain.txt
 
+echo "== 5b. pretrain step with IN-KERNEL attention dropout"
+MVLT_KERNEL_DROPOUT=1 timeout 900 python bench.py --mode pretrain \
+    2>&1 | tail -3 | tee /tmp/roundup/pretrain_kdrop.txt
+
 echo "== 6. full bench"
 timeout 1800 python bench.py 2>&1 | tail -3 | tee /tmp/roundup/bench.txt
 

@@ -227,3 +227,66 @@ def test_fused_backward_kernels_grad_parity_on_chip(tpu):
         err = np.abs(a - b).max() / scale
         assert err < 0.15, (jax.tree_util.keystr(path), err,
                             float(np.abs(b).max()))
+
+
+def test_in_kernel_attention_dropout_on_chip(tpu):
+    """fused_attn_ln_adrop: the in-kernel PRNG dropout mask (emitted via
+    the save_amask debug output) reproduces the exact fused_attn_ln_masked
+    forward AND backward when fed back as an explicit mask; same seed
+    gives identical draws."""
+    import jax
+    import jax.numpy as jnp
+    from mvlt_tpu.ops import pallas_attn as pa
+
+    rng = np.random.default_rng(11)
+    B, N, C, nH = 4, 72, 256, 8       # N % 8 == 0: no pad slicing needed
+    dt = jnp.bfloat16
+    x = jnp.asarray(rng.normal(size=(B, N, C)) * 0.5, dt)
+    wqkv = jnp.asarray(rng.normal(size=(C, 3 * C)) * 0.05, dt)
+    bqkv = jnp.zeros((3 * C,), dt)
+    wproj = jnp.asarray(rng.normal(size=(C, C)) * 0.05, dt)
+    bproj = jnp.zeros((C,), dt)
+    kbias = jnp.zeros((B, N), jnp.float32)
+    lns, lnb = jnp.ones(C), jnp.zeros(C)
+    scale = (C // nH) ** -0.5
+    rate = 0.1
+    seed = jax.lax.bitcast_convert_type(
+        jnp.asarray([12345], jnp.int32), jnp.float32)
+
+    # forward with the debug mask output
+    out, _, _, mask = pa._attn_ln_impl(
+        x, wqkv, bqkv, wproj, bproj, kbias, None, None, None, lns, lnb,
+        scale, nH, 1e-12, 8, False, save_res=True, adrop=(seed, rate),
+        save_amask=True)
+    mask = np.asarray(jax.device_get(mask))
+    keep_frac = (mask > 0).mean()
+    assert abs(keep_frac - (1 - rate)) < 0.01, keep_frac
+    np.testing.assert_allclose(mask[mask > 0].max(), 1.0 / (1 - rate),
+                               rtol=1e-6)
+
+    # determinism: same seed -> identical output
+    out2 = pa.fused_attn_ln_adrop(x, wqkv, bqkv, wproj, bproj, kbias,
+                                  None, None, lns, lnb, seed, scale, nH,
+                                  rate)
+    np.testing.assert_array_equal(np.asarray(jax.device_get(out)),
+                                  np.asarray(jax.device_get(out2)))
+
+    # fwd + grads == the explicit-mask kernel fed the SAME mask
+    maskj = jnp.asarray(mask, dt)
+
+    def loss_adrop(x_, w_):
+        return pa.fused_attn_ln_adrop(
+            x_, w_, bqkv, wproj, bproj, kbias, None, None, lns, lnb,
+            seed, scale, nH, rate).astype(jnp.float32).sum()
+
+    def loss_masked(x_, w_):
+        return pa.fused_attn_ln_masked(
+            x_, w_, bqkv, wproj, bproj, kbias, None, maskj, None, lns,
+            lnb, scale, nH).astype(jnp.float32).sum()
+
+    ga = jax.jit(jax.grad(loss_adrop, argnums=(0, 1)))(x, wqkv)
+    gm = jax.jit(jax.grad(loss_masked, argnums=(0, 1)))(x, wqkv)
+    for a, b in zip(jax.device_get(ga), jax.device_get(gm)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   atol=0.02, rtol=0.02)
