@@ -1916,12 +1916,20 @@ window_block_attention.defvjp(_block_fwd, _block_bwd)
 
 def _adrop_mask(seed_ref, sample: int, head: int, n: int, rate: float):
     """Regenerable in-kernel attention-dropout mask: values 0 or 1/keep,
-    seeded by (step seed, ABSOLUTE sample index, head) so the backward
-    kernel reproduces the forward's draw bit-exactly regardless of how
-    either kernel groups samples per program."""
+    seeded by (step seed halves, ABSOLUTE sample index, head) so the
+    backward kernel reproduces the forward's draw bit-exactly regardless
+    of how either kernel groups samples per program.
+
+    ``seed_ref`` is a (2,) f32 SMEM ref holding two 16-bit seed halves:
+    Mosaic rejects scalar f32->i32 BITCASTS (`tpu.bitcast (f32) -> i32`),
+    but plain converts of 16-bit-exact floats are lossless and supported."""
     from jax.experimental.pallas import tpu as _pltpu
-    seed = jax.lax.bitcast_convert_type(seed_ref[0], jnp.int32)
-    _pltpu.prng_seed(seed, sample, head)
+    hi = seed_ref[0].astype(jnp.int32)
+    lo = seed_ref[1].astype(jnp.int32)
+    # Mosaic's prng_set_seed_32 accepts at most TWO values: fold the
+    # step seed into one word and (sample, head) into the other
+    # (head < 256 always; sample is an in-batch index, far below 2^23).
+    _pltpu.prng_seed(hi * 65536 + lo, sample * 256 + head)
     bits = _pltpu.bitcast(_pltpu.prng_random_bits((n, n)), jnp.uint32)
     keep = 1.0 - rate
     thresh = jnp.uint32(min(int(keep * 2 ** 32), 2 ** 32 - 1))
@@ -1941,7 +1949,7 @@ def _attn_ln_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     attention-probability dropout mask (0 or 1/keep), ``hmask`` (G*N, C)
     multiplicative hidden-dropout mask applied to the projected output
     before the residual — HF Bert dropout placement; ``adrop_seed``
-    (1,) f32-bitcast seed when ``adrop_rate > 0`` (in-kernel dropout
+    (2,) f32 16-bit seed halves when ``adrop_rate > 0`` (in-kernel dropout
     mask generation — mutually exclusive with ``amask``).
 
     ``save_res``: QKV and ctx become outputs (residuals for the
@@ -2053,7 +2061,7 @@ def _attn_ln_impl(x, wqkv, bqkv, wproj, bproj, kbias, qbias, amask, hmask,
     the in-kernel QKV (B, N_pad, 3C) and ctx (B, N_pad, C) residuals
     (padded layout — the backward works on padded arrays).
 
-    ``adrop``: (seed (1,) f32-bitcast array, rate) for IN-KERNEL
+    ``adrop``: (seed (2,) f32 16-bit-halves array, rate) for IN-KERNEL
     attention-dropout mask generation (pltpu PRNG; NOT interpretable on
     CPU — on-chip tests only).  Mutually exclusive with ``amask``.
     ``save_amask`` appends the generated (B, nH, N_pad, N_pad) f32 mask
@@ -2553,9 +2561,11 @@ def fused_attn_ln_adrop(x, wqkv, bqkv, wproj, bproj, kbias, qbias, hmask,
     and the backward kernel regenerates the identical draw — no mask
     generation, no mask HBM traffic (~3x the mask bytes per step).
 
-    ``adrop_seed``: (1,) float32 BITCAST of an int32 seed (float dtype
-    keeps custom_vjp cotangent plumbing trivial; the kernel bitcasts it
-    back).  bf16-only training fast path; pltpu PRNG does not interpret
+    ``adrop_seed``: (2,) float32 holding two 16-bit seed halves (float
+    dtype keeps custom_vjp cotangent plumbing trivial; 16-bit halves
+    because Mosaic rejects scalar f32->i32 bitcasts, so the kernel
+    recovers them with a lossless convert — see :func:`_adrop_mask`).
+    bf16-only training fast path; pltpu PRNG does not interpret
     on CPU, so tests are on-chip (tests/test_tpu_parity.py)."""
     return _attn_ln_impl(x, wqkv, bqkv, wproj, bproj, kbias, qbias, None,
                          hmask, lns, lnb, scale, num_heads, eps, group,

@@ -250,8 +250,7 @@ def test_in_kernel_attention_dropout_on_chip(tpu):
     lns, lnb = jnp.ones(C), jnp.zeros(C)
     scale = (C // nH) ** -0.5
     rate = 0.1
-    seed = jax.lax.bitcast_convert_type(
-        jnp.asarray([12345], jnp.int32), jnp.float32)
+    seed = jnp.asarray([5.0, 12345.0], jnp.float32)  # two 16-bit halves
 
     # forward with the debug mask output
     out, _, _, mask = pa._attn_ln_impl(
