@@ -34,6 +34,12 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
 CPU_BASELINE_SAMPLES_PER_SEC = 2.95
 
 
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def measure(batch: int, dtype, iters: int = 20, warmup: int = 1) -> float:
     """Time ``iters`` chained forwards inside ONE jit program and fetch a
     scalar at the end.  Chaining (each step perturbs the image with the
@@ -89,9 +95,11 @@ def measure_caption_decode(batch: int = 8, num_beams: int = 3,
     spec = GenerationSpec.from_config(cfg, num_beams=num_beams, unroll=True)
     jfn = jax.jit(lambda v, im: generate(model, v, im, spec)[0])
     jax.device_get(jfn(variables, image))
-    t0 = time.perf_counter()
-    seqs = jax.device_get(jfn(variables, image))
-    dt = time.perf_counter() - t0
+    # one decode is ~65-90 ms — the tunnel's fixed ~25-45 ms dispatch
+    # overhead dominates a single execution, so take the best of a few
+    # repeats (NOTES.md measurement gotchas)
+    dt = min(_timed(lambda: jax.device_get(jfn(variables, image)))
+             for _ in range(5))
     return batch * max_length / dt
 
 
