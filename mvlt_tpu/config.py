@@ -290,6 +290,10 @@ class TrainConfig:
     grad_accum_steps: int = 1
     log_every: int = 50
     checkpoint_every_epochs: int = 1
+    # overlap Orbax persistence with training: save() returns after the
+    # device->host snapshot; serialization runs on a background thread
+    # (utils/checkpoint.py).  The reference's torch.save blocks the loop.
+    async_checkpoint: bool = True
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
 
 

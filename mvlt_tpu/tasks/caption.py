@@ -43,6 +43,7 @@ def train_caption(runner: TaskRunner, train_ds, test_ds=None,
                                   strategy=learning_strategy)
             runner.logger.info("epoch %d eval: %s", epoch, scores)
             evals.append(scores)
+    runner.finish()
     return evals
 
 

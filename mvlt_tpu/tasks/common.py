@@ -125,7 +125,14 @@ class TaskRunner:
         # gating on process 0 would deadlock multi-host runs and cannot
         # serialize non-addressable shards)
         if self.workdir:
-            ckpt_lib.save_checkpoint(self.workdir, self.state, keep=keep)
+            ckpt_lib.save_checkpoint(
+                self.workdir, self.state, keep=keep,
+                async_save=self.train_config.async_checkpoint)
+
+    def finish(self) -> None:
+        """Block until any in-flight async checkpoint save is committed —
+        call at the end of a train loop before the process may exit."""
+        ckpt_lib.wait_for_async_saves()
 
     def log_step(self, metrics: Dict, samples: int) -> None:
         # Host-side step counter: `int(self.state.step)` (or float() on a

@@ -50,3 +50,4 @@ def train_pretrain(runner: TaskRunner, train_ds,
                 ckpt_lib.save_pretrained(
                     os.path.join(export_dir + f"_epoch{epoch}"),
                     runner.config, variables)
+    runner.finish()

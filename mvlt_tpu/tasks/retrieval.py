@@ -38,6 +38,7 @@ def train_retrieval(runner: TaskRunner, train_ds,
             runner.log_step(metrics, samples=2 * tc.batch_size)
         if (epoch + 1) % tc.checkpoint_every_epochs == 0:
             runner.save()
+    runner.finish()
 
 
 def score_grid(runner: TaskRunner, test_ds, batch_size: int = 64

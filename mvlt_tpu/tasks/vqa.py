@@ -79,6 +79,7 @@ def train_vqa(runner: TaskRunner, train_ds, valid_ds=None, test_ds=None,
                 runner.save()
         elif (epoch + 1) % tc.checkpoint_every_epochs == 0:
             runner.save()
+    runner.finish()
     if test_ds is not None:
         # last-epoch weights ("vqa final results", run_vqa.py:294-297)
         best["test_final"] = eval_vqa(runner, test_ds, tc.batch_size)

@@ -30,21 +30,55 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
+_ASYNC: Optional[ocp.AsyncCheckpointer] = None
+
+
+def _async_checkpointer() -> ocp.AsyncCheckpointer:
+    # one module-level instance: it owns the background serialization
+    # thread, and reusing it serializes saves (wait before each new one)
+    global _ASYNC
+    if _ASYNC is None:
+        _ASYNC = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _ASYNC
+
+
+def wait_for_async_saves() -> None:
+    """Block until any in-flight async checkpoint save has been committed
+    to storage.  No-op if none is pending."""
+    if _ASYNC is not None:
+        _ASYNC.wait_until_finished()
+
+
 def save_checkpoint(path: str, state: Any, step: Optional[int] = None,
-                    keep: int = 3) -> str:
-    """Save a TrainState under ``path/step_<n>`` and prune old steps."""
+                    keep: int = 3, async_save: bool = False) -> str:
+    """Save a TrainState under ``path/step_<n>`` and prune old steps.
+
+    ``async_save=True`` returns right after the device->host snapshot
+    (training resumes while Orbax serializes on a background thread —
+    the reference's ``torch.save`` blocks the loop for the full write).
+    Only one async save is in flight at a time: the next call (or
+    :func:`wait_for_async_saves` / :func:`latest_checkpoint`) waits for
+    the previous one first, so up to ``keep``+1 step dirs may exist
+    transiently."""
     step = int(state.step) if step is None else int(step)
     target = os.path.join(os.path.abspath(path), f"step_{step:08d}")
     # split off non-pytree fields (tx/apply_fn are static)
     payload = {"step": state.step, "params": state.params,
                "opt_state": state.opt_state,
                "extra_variables": state.extra_variables}
-    _checkpointer().save(target, payload, force=True)
-    _prune(path, keep)
+    if async_save:
+        ckptr = _async_checkpointer()
+        ckptr.wait_until_finished()
+        _prune(path, keep)              # account for the save that just landed
+        ckptr.save(target, payload, force=True)
+    else:
+        _checkpointer().save(target, payload, force=True)
+        _prune(path, keep)
     return target
 
 
 def latest_checkpoint(path: str) -> Optional[str]:
+    wait_for_async_saves()          # an in-flight save must be visible
     if not os.path.isdir(path):
         return None
     # skip orbax step_N.orbax-checkpoint-tmp-<ts> leftovers from an

@@ -99,3 +99,30 @@ def test_interrupted_save_tmp_dirs_ignored(tmp_path):
     os.makedirs(tmp_path / "step_00000007.orbax-checkpoint-tmp-12345")
     got = latest_checkpoint(str(tmp_path))
     assert got is not None and got.endswith("step_00000005")
+
+
+def test_async_save_roundtrip_and_prune(tiny_state, tmp_path_factory):
+    """async_save returns before the write completes but the checkpoint is
+    committed by wait (or by latest_checkpoint, which waits); successive
+    async saves prune like sync ones."""
+    import os
+    cfg, model, state = tiny_state
+    path = str(tmp_path_factory.mktemp("async"))
+    for s in range(4):
+        ckpt.save_checkpoint(path, state, step=s, keep=2, async_save=True)
+    ckpt.wait_for_async_saves()
+
+    variables = model.init(jax.random.PRNGKey(2),
+                           jnp.zeros((2, 3, 32, 32), jnp.float32),
+                           jnp.ones((2, 4), jnp.int32))
+    fresh = create_train_state(model, variables, make_optimizer(cfg))
+    restored, ok = ckpt.restore_checkpoint(path, fresh)
+    assert ok
+    for a, b in zip(jax.tree.leaves(restored.params),
+                    jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # keep=2 (+ the most recent save may persist transiently; wait() above
+    # committed it, and the NEXT save prunes — so at most keep+1 on disk)
+    steps = sorted(d for d in os.listdir(path) if "-tmp-" not in d)
+    assert steps[-1] == "step_00000003"
+    assert len(steps) <= 3
