@@ -1096,10 +1096,10 @@ def _full_forward(x, params, bias, *, scale, num_heads, group, interpret,
     kernel.
 
     ``save_res=True`` returns ``(out, qkv, ctx)`` — the in-kernel QKV
-    (BW, N, 3C) and attention context (BW, N, C) residuals for the
-    store-residual backward — or ``(out, None, None)`` on fallback paths
-    that don't support saving.  Window-pair merging is a pure reshape, so
-    the residuals are returned in the CALLER's (BW, N, ·) layout."""
+    and attention-context residuals for the store-residual backward, in
+    FLAT ``(BW*N, 3C)/(BW*N, C)`` layout (same row order as the caller's
+    windows; merging is a pure reshape of flat rows) — or
+    ``(out, None, None)`` on fallback paths that don't support saving."""
     orig_shape = x.shape
     x, bias, merged = _merge_window_pairs(x, bias)
     out = _full_forward_inner(x, params, bias, scale=scale,
@@ -1108,12 +1108,11 @@ def _full_forward(x, params, bias, *, scale, num_heads, group, interpret,
                               save_res=save_res)
     if save_res:
         out, qkv, ctx = out
-        BW, N, C = orig_shape
         if merged:
             out = out.reshape(orig_shape)
-        if qkv is not None:
-            qkv = qkv.reshape(BW, N, 3 * C)
-            ctx = ctx.reshape(orig_shape)
+        # qkv/ctx stay FLAT (BW*N, ·): the stored backward consumes flat
+        # rows (attention_core_bwd_flat) and a (BW, N, ·) tiled array at
+        # N % 8 != 0 would force a real relayout copy both ways
         return out, qkv, ctx
     return out.reshape(orig_shape) if merged else out
 
@@ -1669,11 +1668,11 @@ def _stored_block_bwd(x, params, bias, dp, qkv, ctx, g, scale, num_heads,
                       interp):
     """Store-residual backward of the whole Swin block.
 
-    Consumes the forward kernel's QKV and ctx instead of recomputing the
-    block: the only recompute left is LN1/LN2 (elementwise) and fc1+GELU
-    (one matmul, needed for the GELU derivative); the attention core
-    backward runs as a Pallas kernel on the saved QKV.  All weight grads
-    are single large MXU matmuls."""
+    Consumes the forward kernel's QKV and ctx (FLAT (BW*N, ·) layout)
+    instead of recomputing the block: the only recompute left is LN1/LN2
+    (elementwise) and fc1+GELU (one matmul, needed for the GELU
+    derivative); the attention core backward runs as a Pallas kernel on
+    the saved QKV.  All weight grads are single large MXU matmuls."""
     (ln1s, ln1b, wqkv, bqkv, wproj, bproj,
      ln2s, ln2b, w1, b1, w2, b2) = params
     BW, N, C = x.shape
@@ -1760,11 +1759,9 @@ def _stored_block_bwd(x, params, bias, dp, qkv, ctx, g, scale, num_heads,
     dbproj = da.sum(0)
     dctx = mm(da_d, wproj.astype(dt).T).astype(dt)
 
-    # --- attention core backward on the saved QKV (Pallas) ---
-    bias_arr = bias
-    dQKV, dbias = attention_core_bwd(qkv, dctx.reshape(BW, N, C), bias_arr,
-                                     scale, num_heads, interpret=interp)
-    dQKV2 = dQKV.reshape(-1, 3 * C)
+    # --- attention core backward on the saved QKV (Pallas, flat rows) ---
+    dQKV2, dbias = attention_core_bwd_flat(qkv, dctx, bias, N, scale,
+                                           num_heads, interpret=interp)
     dQKV2_d = dQKV2.astype(dt)
 
     # --- qkv head: recompute LN1 (elementwise) ---
@@ -1831,8 +1828,8 @@ def _full_bwd_stored_shift(scale, num_heads, interpret, shift_spec, res,
                      for d in dp)
 
     dx_s, dparams, dbias, ddp_s = _stored_block_bwd(
-        x_s, params, combined, dp_s, qkv.reshape(BW, N, 3 * C),
-        ctx.reshape(BW, N, C), g_s, scale, num_heads, interp)
+        x_s, params, combined, dp_s, qkv, ctx, g_s, scale, num_heads,
+        interp)
 
     dx = to_unshifted(dx_s).astype(x.dtype)
     ddp = None
@@ -3360,6 +3357,171 @@ def _core_bwd_kernel(qkv_ref, dctx_ref, bias_ref, dqkv_ref, dbias_ref,
             dqkv_ref[g, :, 2 * C + hh * Dh:2 * C + (hh + 1) * Dh] = \
                 dv.astype(dqkv_ref.dtype)
             dbias_ref[(base + g) % Gb, hh] += ds
+
+
+def _core_bwd_kernel2d(qkv_ref, dctx_ref, bias_ref, dqkv_ref, dbias_ref,
+                       p_ref, dp_ref, *, seq_n: int, scale: float,
+                       num_heads: int, fast: bool = False):
+    """:func:`_core_bwd_kernel` on FLAT 2-D (G*N, ·) blocks (value slices
+    pick windows) — same two-pass structure and per-element math.  The
+    2-D layout matters at N % 8 != 0 window geometries: a (BW, N, 3C)
+    tiled array pads every window panel to the sublane multiple, so the
+    XLA reshape from the flat stored-residual layout is a real relayout
+    copy (~0.25 ms per 58MB operand at Swin stage 1)."""
+    GN, C3 = qkv_ref.shape
+    N = seq_n
+    G = GN // N
+    C = C3 // 3
+    Gb = bias_ref.shape[0]
+    Dh = C // num_heads
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    ones = jnp.ones((N, 1), jnp.float32)
+    base = pl.program_id(0) * G      # see _core_fwd_kernel pattern note
+    dt = qkv_ref.dtype
+    for g in range(G):
+        rows = qkv_ref[g * N:(g + 1) * N]
+        for hh in range(num_heads):
+            qd = rows[:, hh * Dh:(hh + 1) * Dh]
+            kd = rows[:, C + hh * Dh:C + (hh + 1) * Dh]
+            vd = rows[:, 2 * C + hh * Dh:2 * C + (hh + 1) * Dh]
+            dctx_d = dctx_ref[g * N:(g + 1) * N, hh * Dh:(hh + 1) * Dh]
+            if fast:
+                s = jax.lax.dot_general(qd, kd, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                s = s * scale + bias_ref[(base + g) % Gb, hh]
+                e = jnp.exp(jnp.minimum(s, 60.0))
+            else:
+                qd = qd.astype(jnp.float32) * scale
+                kd = kd.astype(jnp.float32)
+                vd = vd.astype(jnp.float32)
+                dctx_d = dctx_d.astype(jnp.float32)
+                s = jax.lax.dot_general(qd, kd, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                s = s + bias_ref[(base + g) % Gb, hh]
+                s = s - jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp(s)
+            denom = jax.lax.dot_general(e, ones, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+            if fast:
+                p = e * pl.reciprocal(jnp.maximum(denom, 1e-30), approx=True)
+            else:
+                p = e / denom
+            dp = jax.lax.dot_general(dctx_d, vd, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            p_ref[g * num_heads + hh] = p
+            dp_ref[g * num_heads + hh] = dp
+    for g in range(G):
+        rows = qkv_ref[g * N:(g + 1) * N]
+        for hh in range(num_heads):
+            qd = rows[:, hh * Dh:(hh + 1) * Dh]
+            kd = rows[:, C + hh * Dh:C + (hh + 1) * Dh]
+            dctx_d = dctx_ref[g * N:(g + 1) * N, hh * Dh:(hh + 1) * Dh]
+            if not fast:
+                qd = qd.astype(jnp.float32) * scale
+                kd = kd.astype(jnp.float32)
+                dctx_d = dctx_d.astype(jnp.float32)
+            p = p_ref[g * num_heads + hh]
+            dp = dp_ref[g * num_heads + hh]
+            pd = p.astype(dt) if fast else p
+            dv = jax.lax.dot_general(pd, dctx_d, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            pdp = p * dp
+            rd = jax.lax.dot_general(pdp, ones, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            ds = pdp - p * rd
+            dsd = ds.astype(dt) if fast else ds
+            if fast:
+                dq = jax.lax.dot_general(
+                    dsd, kd, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                dk = jax.lax.dot_general(
+                    dsd, qd, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+            else:
+                dq = jax.lax.dot_general(
+                    dsd, kd, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                dk = jax.lax.dot_general(
+                    dsd, qd, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            sl = slice(g * N, (g + 1) * N)
+            dqkv_ref[sl, hh * Dh:(hh + 1) * Dh] = dq.astype(dqkv_ref.dtype)
+            dqkv_ref[sl, C + hh * Dh:C + (hh + 1) * Dh] = \
+                dk.astype(dqkv_ref.dtype)
+            dqkv_ref[sl, 2 * C + hh * Dh:2 * C + (hh + 1) * Dh] = \
+                dv.astype(dqkv_ref.dtype)
+            dbias_ref[(base + g) % Gb, hh] += ds
+
+
+def attention_core_bwd_flat(qkv2, dctx2, bias, n: int, scale: float,
+                            num_heads: int, interpret: bool = False):
+    """:func:`attention_core_bwd` on FLAT stored-residual rows.
+
+    qkv2: (BW*n, 3C); dctx2: (BW*n, C); bias: (nWb, nH, n, n).  Returns
+    (dqkv2 (BW*n, 3C), dbias).  Never materializes the (BW, n, 3C) tiled
+    form (a real relayout copy when n % 8 != 0 — Swin windows are n=49).
+    Window-pair merging is pure row REINTERPRETATION here (flat layouts
+    are identical).  Falls back to the 3-D kernel when no sublane-aligned
+    group size fits VMEM (e.g. Swin stage 4: C=768, nH=24)."""
+    M, C3 = qkv2.shape
+    C = C3 // 3
+    BW = M // n
+    nWb0 = bias.shape[0]
+    if n <= 64 and BW % 2 == 0 and (nWb0 == 1 or nWb0 % 2 == 0):
+        N, BWm, bias_m, merged = 2 * n, BW // 2, _merge_bias_pairs(bias), True
+    else:
+        N, BWm, bias_m, merged = n, BW, bias, False
+    nWb = bias_m.shape[0]
+
+    def ok(G):
+        # block rows must be sublane-aligned; VMEM: value blocks (the
+        # usual 12-bytes/elem heuristic) + the two-pass p/dp scratch
+        return (BWm % G == 0 and (nWb == 1 or nWb % G == 0)
+                and (G * N) % 8 == 0
+                and G * (N * C3 * 12 + 2 * num_heads * N * N * 4)
+                <= 10 * 1024 * 1024)
+
+    G = 8
+    while G > 1 and not ok(G):
+        G //= 2
+    if not ok(G) or os.environ.get("MVLT_NO_CORE2D"):
+        dqkv, dbias = attention_core_bwd(
+            qkv2.reshape(BW, n, C3), dctx2.reshape(BW, n, C), bias,
+            scale, num_heads, interpret=interpret)
+        return dqkv.reshape(M, C3), dbias
+
+    spec2 = lambda c: pl.BlockSpec((G * N, c), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec(bias_m.shape, lambda i: (0,) * bias_m.ndim,
+                             memory_space=pltpu.VMEM)
+    dqkv2, dbias_m = pl.pallas_call(
+        functools.partial(_core_bwd_kernel2d, seq_n=N, scale=scale,
+                          num_heads=num_heads,
+                          fast=(qkv2.dtype == jnp.bfloat16 and not interpret)),
+        grid=(BWm // G,),
+        in_specs=[spec2(C3), spec2(C), bias_spec],
+        out_specs=(spec2(C3), bias_spec),
+        out_shape=(jax.ShapeDtypeStruct((M, C3), qkv2.dtype),
+                   jax.ShapeDtypeStruct(bias_m.shape, jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((G * num_heads, N, N), jnp.float32),
+                        pltpu.VMEM((G * num_heads, N, N), jnp.float32)],
+        interpret=interpret,
+    )(qkv2, dctx2, bias_m)
+    if merged:
+        top = dbias_m[:, :, :n, :n]
+        bot = dbias_m[:, :, n:, n:]
+        if nWb0 == 1:
+            dbias = (top + bot).astype(jnp.float32)
+        else:
+            dbias = jnp.stack([top, bot], axis=1).reshape(
+                nWb0, dbias_m.shape[1], n, n)
+    else:
+        dbias = dbias_m
+    return dqkv2, dbias.astype(jnp.float32)
 
 
 def _core_merge(qkv, bias):

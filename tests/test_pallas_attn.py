@@ -976,3 +976,31 @@ def test_swin_qkv_tail_bwd_kernel():
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32),
                                    atol=tol, rtol=tol)
+
+
+@pytest.mark.parametrize("BW,n,C,nH,nWb", [
+    (8, 49, 32, 4, 4),   # Swin-like odd-N windows: flat 2-D kernel path
+    (4, 49, 32, 4, 1),   # shared bias pattern, pair-merged
+    (6, 16, 24, 3, 3),   # nWb does not pair-merge (odd), unmerged flat
+])
+def test_attention_core_bwd_flat_matches_3d(BW, n, C, nH, nWb):
+    """attention_core_bwd_flat (flat stored-residual rows, 2-D kernel)
+    == attention_core_bwd (3-D kernel) — the flat path exists to avoid
+    the N%8!=0 relayout copy, so it must be numerically identical."""
+    from mvlt_tpu.ops.pallas_attn import (attention_core_bwd,
+                                          attention_core_bwd_flat)
+    rng = np.random.default_rng(23)
+    qkv = jnp.asarray(rng.normal(size=(BW, n, 3 * C)) * 0.5, jnp.float32)
+    dctx = jnp.asarray(rng.normal(size=(BW, n, C)) * 0.5, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(nWb, nH, n, n)) * 0.3, jnp.float32)
+    scale = (C // nH) ** -0.5
+    want_dqkv, want_dbias = attention_core_bwd(qkv, dctx, bias, scale, nH,
+                                               interpret=True)
+    got_dqkv, got_dbias = attention_core_bwd_flat(
+        qkv.reshape(BW * n, 3 * C), dctx.reshape(BW * n, C), bias, n,
+        scale, nH, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_dqkv),
+                               np.asarray(want_dqkv).reshape(BW * n, 3 * C),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_dbias), np.asarray(want_dbias),
+                               atol=1e-5, rtol=1e-5)
