@@ -278,6 +278,185 @@ def test_vendored_swin_backbone_parity(ref):
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=1e-4)
 
 
+# ---------------------------------------------------------------------------
+# Swin-composed full-model parity (VERDICT r2 item 3): the reference's
+# Conv_layer 'swintransformer' branch (model.py:204-226) — including its
+# hidden parse_option() sys.argv re-parse and the ./modules/*.pth load
+# (monkeypatched to an empty state dict, loaded strict=False) — feeding
+# the fusion encoder, and the 5-D two-view IU X-Ray branch
+# (model.py:240-253) through caption training + greedy/beam decode.
+# ---------------------------------------------------------------------------
+
+# Small-but-real Swin geometry whose final feature dim is 768 (so no
+# resnet_fc projection fires, exactly like Swin-S): img 56 / patch 4 →
+# 14x14 tokens, one merge → 7x7 = 49 tokens of 384*2 = 768 channels.
+SWIN_TEST = dict(img_size=56, embed_dim=384, depths=(2, 2),
+                 num_heads=(4, 8), window_size=7)
+
+
+@pytest.fixture(scope="module")
+def swin_argv_yaml(tmp_path_factory):
+    """A real YAML for the reference's parse_option() (the hidden argv
+    re-parse at model.py:205 → swin_transformer_config.py:257-296)."""
+    import yaml
+    path = tmp_path_factory.mktemp("swincfg") / "swin_test.yaml"
+    path.write_text(yaml.safe_dump({
+        "MODEL": {"TYPE": "swin", "NAME": "swin_test",
+                  "DROP_PATH_RATE": 0.0,
+                  "SWIN": {"EMBED_DIM": SWIN_TEST["embed_dim"],
+                           "DEPTHS": list(SWIN_TEST["depths"]),
+                           "NUM_HEADS": list(SWIN_TEST["num_heads"]),
+                           "WINDOW_SIZE": SWIN_TEST["window_size"],
+                           "PATCH_SIZE": 4}},
+        "DATA": {"IMG_SIZE": SWIN_TEST["img_size"]}}))
+    return str(path)
+
+
+def _build_ref_swin_model(ref, tokenizer, config_cls, swin_argv_yaml,
+                          monkeypatch, seed, **cfg_kw):
+    """Reference MVLBertForX with conv='swintransformer', built the way the
+    reference builds it: parse_option() re-parses sys.argv (model.py:205)
+    and torch.load pulls the .pth (model.py:222-226; absent here → empty
+    'model' dict, strict=False load keeps the random init)."""
+    mcfg = sys.modules["modules.config"]
+    config = getattr(mcfg, config_cls)(
+        num_hidden_layers=LAYERS, intermediate_size=INTER,
+        conv="swintransformer")
+    # set AFTER construction: the reference __init__ overwrites kwargs
+    # with its class defaults (config.py:29-38)
+    for k, v in cfg_kw.items():
+        setattr(config, k, v)
+    config.update_special_tokens(tokenizer)
+    monkeypatch.setattr(sys, "argv", ["test", "--cfg", swin_argv_yaml])
+    import torch as _torch
+    monkeypatch.setattr(_torch, "load", lambda *a, **k: {"model": {}})
+    torch.manual_seed(seed)
+    if config_cls == "MVLBertConfigForImageCaption":
+        return config, getattr(ref, "MVLBertForImageCaption")(
+            config, tokenizer).eval()
+    name = {"MVLBertConfigforVQA": "MVLBertForVQA"}[config_cls]
+    return config, getattr(ref, name)(config).eval()
+
+
+def _our_swin_config(tokenizer, **kw):
+    from mvlt_tpu.config import SwinConfig
+    fusion = FusionConfig(num_hidden_layers=LAYERS, intermediate_size=INTER)
+    swin = SwinConfig(drop_path_rate=0.0, **SWIN_TEST)
+    return MVLTConfig(fusion=fusion, conv="swin", swin=swin,
+                      **kw).with_tokenizer(tokenizer)
+
+
+def test_vqa_swin_composed_logits(ref, tokenizer, swin_argv_yaml,
+                                  monkeypatch):
+    """Composed Conv_layer('swintransformer') → 49 Swin tokens → fusion →
+    VQA head, logits ≤2e-4 vs the reference end-to-end."""
+    config, ref_model = _build_ref_swin_model(
+        ref, tokenizer, "MVLBertConfigforVQA", swin_argv_yaml, monkeypatch,
+        seed=11, result_num=10)
+
+    rng = np.random.default_rng(12)
+    image = rng.normal(size=(B, 3, SWIN_TEST["img_size"],
+                             SWIN_TEST["img_size"])).astype(np.float32)
+    q = rng.integers(1000, 29000, size=(B, QLEN)).astype(np.int64)
+    q[0, -2:] = 0
+    with torch.no_grad():
+        ref_prob, ref_logits = ref_model(
+            torch.from_numpy(image), torch.from_numpy(q), None)
+
+    cfg = _our_swin_config(tokenizer, result_num=10)
+    model = VQAModel(cfg)
+    sd = convert.state_dict_to_numpy(ref_model.state_dict())
+    variables = convert.vqa_from_torch(sd, num_layers=LAYERS, conv="swin",
+                                       depths=SWIN_TEST["depths"])
+    prob, logits = model.apply(variables, jnp.asarray(image),
+                               jnp.asarray(q, jnp.int32),
+                               deterministic=True)
+    np.testing.assert_allclose(np.asarray(logits), ref_logits.numpy(),
+                               atol=2e-4, rtol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def swin_caption_pair(ref, tokenizer, swin_argv_yaml):
+    """Two-view (B,2,3,56,56) caption model pair on the composed Swin
+    path: 49+49 = 98 image tokens (model.py:240-253)."""
+    mp = pytest.MonkeyPatch()
+    try:
+        config, ref_model = _build_ref_swin_model(
+            ref, tokenizer, "MVLBertConfigForImageCaption", swin_argv_yaml,
+            mp, seed=13)
+        config.max_length = 8
+        ref_model = shim_legacy_cache(ref_model)
+    finally:
+        mp.undo()
+
+    cfg = _our_swin_config(tokenizer, is_decoder=True, max_length=8)
+    model = CaptionModel(cfg)
+    sd = convert.state_dict_to_numpy(ref_model.state_dict())
+    variables = convert.caption_from_torch(sd, num_layers=LAYERS,
+                                           conv="swin",
+                                           depths=SWIN_TEST["depths"])
+    rng = np.random.default_rng(14)
+    image = rng.normal(size=(B, 2, 3, SWIN_TEST["img_size"],
+                             SWIN_TEST["img_size"])).astype(np.float32)
+    feat = model.apply(variables, jnp.asarray(image),
+                       method=lambda m, im: m.encode_image(im))
+    assert feat.shape[1] == 98          # two-view: 49 + 49 tokens
+    return ref_model, model, variables, cfg, image, feat
+
+
+def test_caption_swin_twoview_training_logits(swin_caption_pair):
+    """encode_forward training logits through the composed two-view
+    Swin path (model.py:240-253 + 520-546), unilm strategy."""
+    ref_model, model, variables, cfg, image, feat = swin_caption_pair
+    rng = np.random.default_rng(15)
+    cap = rng.integers(1000, 29000, size=(B, 8)).astype(np.int64)
+    with torch.no_grad():
+        ref_logits = ref_model(torch.from_numpy(image),
+                               torch.from_numpy(cap), num_beams=0,
+                               learning_strategy="unilm")
+    ref_logits = ref_logits.transpose(1, 2).numpy()
+    logits = model.apply(variables, jnp.asarray(image),
+                         jnp.asarray(cap, jnp.int32), "unilm",
+                         deterministic=True)
+    np.testing.assert_allclose(np.asarray(logits), ref_logits, atol=2e-4,
+                               rtol=1e-4)
+
+
+def test_caption_swin_twoview_greedy_parity(swin_caption_pair):
+    """Token-for-token greedy equality through the composed two-view Swin
+    path vs the reference loop (model.py:826-984)."""
+    from mvlt_tpu.models.generation import GenerationSpec, greedy_search
+    ref_model, model, variables, cfg, image, feat = swin_caption_pair
+    with torch.no_grad():
+        ref_ids, _ = ref_model(torch.from_numpy(image), None, num_beams=1,
+                               learning_strategy="unilm")
+    ref_ids = ref_ids.numpy()
+    spec = GenerationSpec.from_config(cfg, num_beams=1, strategy="unilm")
+    ids, _ = greedy_search(model, variables, feat, spec)
+    ids = np.asarray(ids)
+    T = ref_ids.shape[1]
+    np.testing.assert_array_equal(ids[:, :T], ref_ids)
+
+
+def test_caption_swin_twoview_beam_parity(swin_caption_pair):
+    """Token-for-token beam-3 equality through the composed two-view Swin
+    path vs the reference loop (model.py:636-816)."""
+    from mvlt_tpu.models.generation import GenerationSpec, beam_search
+    ref_model, model, variables, cfg, image, feat = swin_caption_pair
+    with torch.no_grad():
+        ref_seqs = ref_model(torch.from_numpy(image), None, num_beams=3,
+                             learning_strategy="unilm")
+    ref_seqs = ref_seqs.numpy()
+    spec = GenerationSpec.from_config(cfg, num_beams=3, strategy="unilm")
+    seqs, lens, scores = beam_search(model, variables, feat, spec)
+    seqs, lens = np.asarray(seqs), np.asarray(lens)
+    T = ref_seqs.shape[1]
+    for b in range(ref_seqs.shape[0]):
+        got = np.where(np.arange(T) < lens[b], seqs[b, :T],
+                       spec.pad_token_id)
+        np.testing.assert_array_equal(got, ref_seqs[b])
+
+
 @pytest.mark.parametrize("strategy", ["unilm", "normal"])
 def test_caption_training_logits(ref, tokenizer, strategy):
     """encode_forward training logits (model.py:520-546), both
