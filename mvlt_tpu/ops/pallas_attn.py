@@ -2871,6 +2871,13 @@ def mlp_ln_half_bwd(x2, res2, g2, hmask2, w1, b1, w2, lns,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
+        # the kernel's scoped demand is ~16.2MB at (R=128, Hc=768, C=768)
+        # — a hair over the 16MB default.  Whether it fits depends on
+        # what ELSE the surrounding module keeps VMEM-resident across
+        # the call (the (J*M, C) dx partials sometimes get the
+        # output-in-vmem treatment), so the margin must be explicit.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=28 * 1024 * 1024),
     )(*operands)
     dx = dx.reshape(J, M_pad, C).sum(0) if J > 1 else dx
     return (dx[:M], dw1, db1.reshape(-1), dw2, db2.reshape(-1),
