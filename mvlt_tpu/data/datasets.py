@@ -65,9 +65,11 @@ class ImageFolderSource:
     """(path, caption) pairs decoded + variance-normalized on the fly
     (ROCO / MedICaT pattern, run_pretrain_rgc_roco_medicat.py:99-129)."""
 
-    def __init__(self, items: Sequence[Tuple[str, str]], image_size: int = 224):
+    def __init__(self, items: Sequence[Tuple[str, str]], image_size: int = 224,
+                 fast_decode: bool = False):
         self.items = list(items)
         self.image_size = image_size
+        self.fast_decode = fast_decode
 
     @staticmethod
     def from_roco(root: str, split: str = "train") -> "ImageFolderSource":
@@ -116,7 +118,8 @@ class ImageFolderSource:
 
     def __getitem__(self, index: int):
         path, caption = self.items[index]
-        im = T.load_image_var_normalized(path, self.image_size)
+        im = T.load_image_var_normalized(path, self.image_size,
+                                         fast=self.fast_decode)
         return im, caption, index, (path, caption[:64])
 
 

@@ -1,12 +1,21 @@
 """Host-side batching + prefetch loader (replaces torch DataLoader workers,
 ``run_pretrain.py:255`` num_workers=8).
 
-- multi-threaded sample fetch (PIL/pickle IO release the GIL),
+- worker *processes* for sample fetch + collate (``num_workers > 0``, the
+  default) — PIL convert/resize and the numpy normalize chain hold the
+  GIL, so a thread pool scales NEGATIVELY (measured: 1 thread 127
+  images/s, 8 threads 51); the reference's torch DataLoader uses
+  processes for the same reason.  Workers inherit the dataset via fork
+  (one-time cost), each builds a whole collated batch so IPC is one
+  pickled dict per batch,
+- threaded fetch fallback (``num_workers=0``) for cheap/synthetic
+  datasets where fork overhead dominates,
 - background prefetch queue overlapping host work with device steps,
 - per-process index sharding for multi-host DP (each host loads only its
   slice — no reference equivalent, the reference is single-process),
 - deterministic order: shuffle is keyed by (seed, epoch), samples by
-  (seed, epoch, index) inside the datasets.
+  (seed, epoch, index) inside the datasets — worker count never changes
+  the stream.
 
 Batches are dicts of stacked numpy arrays; non-array fields (ids, raw
 strings) are returned as lists under the same key.
@@ -14,6 +23,8 @@ strings) are returned as lists under the same key.
 
 from __future__ import annotations
 
+import collections
+import multiprocessing
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -33,11 +44,29 @@ def _collate(samples) -> Any:
     return list(samples)
 
 
+# fork-inherited dataset handle for worker processes: passing the dataset
+# through initargs pickles it once per worker; per-task pickling would
+# resend it with every batch.
+_WORKER_DATASET = None
+
+
+def _pool_init(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _pool_batch(args):
+    chunk, epoch = args
+    samples = [_WORKER_DATASET.__getitem__(int(i), epoch) for i in chunk]
+    return _collate(samples)
+
+
 class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = False, seed: int = 0,
                  num_threads: int = 8, prefetch: int = 2,
-                 process_index: int = 0, process_count: int = 1):
+                 process_index: int = 0, process_count: int = 1,
+                 num_workers: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -47,6 +76,12 @@ class DataLoader:
         self.prefetch = prefetch
         self.process_index = process_index
         self.process_count = process_count
+        if num_workers > 0:
+            try:
+                multiprocessing.get_context("fork")
+            except ValueError:
+                num_workers = 0      # no fork (non-POSIX): threaded fallback
+        self.num_workers = num_workers
 
     def _indices(self, epoch: int) -> np.ndarray:
         n = len(self.dataset)
@@ -85,7 +120,7 @@ class DataLoader:
                     continue
             return False
 
-        def produce():
+        def produce_threads():
             with ThreadPoolExecutor(self.num_threads) as pool:
                 for b in range(nb):
                     if stop.is_set():
@@ -96,6 +131,32 @@ class DataLoader:
                     if not put(_collate(samples)):
                         return
             put(None)
+
+        def produce_procs():
+            ctx = multiprocessing.get_context("fork")
+            with ctx.Pool(self.num_workers, initializer=_pool_init,
+                          initargs=(self.dataset,)) as pool:
+                # bounded in-order submission: at most workers+prefetch
+                # batches in flight so a slow consumer can't make the
+                # pool's result buffer hold the whole epoch
+                pending: "collections.deque" = collections.deque()
+                limit = self.num_workers + self.prefetch
+                b = 0
+                while b < nb or pending:
+                    while b < nb and len(pending) < limit \
+                            and not stop.is_set():
+                        chunk = idx[b * self.batch_size:
+                                    (b + 1) * self.batch_size]
+                        pending.append(pool.apply_async(
+                            _pool_batch, ((chunk, epoch),)))
+                        b += 1
+                    if stop.is_set():
+                        return
+                    if not put(pending.popleft().get()):
+                        return
+            put(None)
+
+        produce = produce_procs if self.num_workers > 0 else produce_threads
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()

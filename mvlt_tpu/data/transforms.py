@@ -44,17 +44,28 @@ def sample_rng(seed: int, epoch: int, index: int,
 
 def normalize_image_var(im_chw: np.ndarray) -> np.ndarray:
     """Per-channel (x - mean) / var — the reference's quirk (var, not std)."""
-    out = im_chw.astype(np.float32).copy()
-    for c in range(out.shape[0]):
-        out[c] = (out[c] - np.mean(out[c])) / np.var(out[c])
-    return out
+    im = im_chw.astype(np.float32, copy=False)
+    mean = im.mean(axis=(-2, -1), keepdims=True)
+    var = im.var(axis=(-2, -1), keepdims=True)
+    return (im - mean) / var
 
 
-def load_image_var_normalized(path: str, size: int = 224) -> np.ndarray:
+def load_image_var_normalized(path: str, size: int = 224,
+                              fast: bool = False) -> np.ndarray:
     """PIL open -> RGB -> resize -> CHW float32 -> variance-normalize
-    (run_pretrain_rgc_roco_medicat.py:104-110)."""
+    (run_pretrain_rgc_roco_medicat.py:104-110).
+
+    ``fast=True`` enables libjpeg's DCT-domain prescaling
+    (``Image.draft``): the JPEG is decoded directly at the smallest
+    power-of-two scale >= ``size`` and then resized.  ~2x cheaper per
+    image on >=512px sources; pixels differ slightly from the full-res
+    decode+bilinear chain, so it's OPT-IN (deviation from reference
+    preprocessing, documented in README)."""
     from PIL import Image
-    im = Image.open(path).convert("RGB").resize((size, size))
+    im = Image.open(path)
+    if fast:
+        im.draft("RGB", (size, size))
+    im = im.convert("RGB").resize((size, size))
     im_np = np.asarray(im, dtype=np.float32).transpose(2, 0, 1)
     return normalize_image_var(im_np)
 

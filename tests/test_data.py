@@ -250,3 +250,41 @@ def test_loader_abandoned_epoch_does_not_leak_producer():
     while threading.active_count() > before and _time.time() < deadline:
         _time.sleep(0.05)
     assert threading.active_count() <= before, "producer thread leaked"
+
+
+def test_loader_process_workers_match_threaded(tok):
+    """num_workers>0 (fork process pool) must yield byte-identical batches
+    in the same order as the threaded path: sample RNG is keyed by
+    (seed, epoch, index), never by worker identity."""
+    src = SyntheticSource(n=24, image_size=16)
+    ds = PretrainDataset(src, tok, max_length=16, seed=3)
+    a = list(DataLoader(ds, 8, shuffle=True, seed=5, num_workers=0).epoch(1))
+    b = list(DataLoader(ds, 8, shuffle=True, seed=5, num_workers=2).epoch(1))
+    assert len(a) == len(b) == 3
+    for x, y in zip(a, b):
+        assert sorted(x.keys()) == sorted(y.keys())
+        for k in x:
+            np.testing.assert_array_equal(np.asarray(x[k]), np.asarray(y[k]))
+
+
+def test_loader_process_workers_abandoned_epoch():
+    """Abandoning a process-worker epoch mid-way must not hang or leak the
+    producer (stop event breaks the bounded-submission loop)."""
+    import threading
+    import time as _time
+
+    class Tiny:
+        def __len__(self):
+            return 64
+        def __getitem__(self, i, epoch=0):
+            return {"x": np.zeros(4, np.float32)}
+
+    before = threading.active_count()
+    dl = DataLoader(Tiny(), batch_size=4, prefetch=1, num_workers=2)
+    for _n, _b in enumerate(dl.epoch(0)):
+        if _n == 1:
+            break
+    deadline = _time.time() + 10.0
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread leaked"
