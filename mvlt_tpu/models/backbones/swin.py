@@ -308,6 +308,28 @@ class SwinBlock(nn.Module):
         if half_ok:
             return self._fused_half_blocks(
                 x, window, shift, interpret=(impl == "interpret_half"))
+        # Wide-stage TRAINING: same stochastic-depth-only condition as the
+        # whole-block training path, but the forward runs in three
+        # VMEM-light pieces (LN1+qkv / attention core / proj+LN2+MLP tail)
+        # and the backward is the stored-residual composition.
+        train_half_ok = not self.is_initializing() and not deterministic \
+            and (self.drop == 0.0 and self.attn_drop == 0.0) and (
+                impl == "interpret_half"
+                or (impl == "auto" and _tpu_native_ok() and not weights_fit))
+        if train_half_ok:
+            dp = None
+            if self.drop_path > 0.0:
+                keep = 1.0 - self.drop_path
+                rows = H * W
+                def draw():
+                    m = jax.random.bernoulli(
+                        self.make_rng("dropout"), p=keep, shape=(B,))
+                    m = m.astype(jnp.float32) / keep
+                    return jnp.repeat(m, rows)[:, None]
+                dp = (draw(), draw())
+            return self._fused_half_train(
+                x, window, shift, interpret=(impl == "interpret_half"),
+                dp=dp)
 
         shortcut = x
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
@@ -399,6 +421,56 @@ class SwinBlock(nn.Module):
         windows = window_partition(xm, window).astype(cdt)
         out = swin_full_block(windows, params, combined, scale, nH,
                               interpret=interpret, dp=dp)
+        xm = window_reverse(out, window, H, W)
+        if shift > 0:
+            xm = jnp.roll(xm, shift=(shift, shift), axis=(1, 2))
+        return xm.reshape(B, H * W, C)
+
+    def _fused_half_train(self, x, window: int, shift: int,
+                          interpret: bool, dp=None) -> jnp.ndarray:
+        """Wide-channel training path: three-piece kernel forward with the
+        stored-residual backward (:func:`swin_half_block`). Roll/partition
+        stay in XLA; shift enters as an additive mask on the bias."""
+        from mvlt_tpu.ops.pallas_attn import swin_half_block
+
+        H, W = self.input_resolution
+        B, L, C = x.shape
+        nH = self.num_heads
+        scale = self.qk_scale or (C // nH) ** -0.5
+        cdt = self.dtype or x.dtype
+
+        gv = lambda name: self.get_variable("params", name)
+        attn_p = gv("attn")
+        table = attn_p["relative_position_bias_table"]
+        N = window * window
+        rel = rel_bias_from_table(table, window, window) \
+            .reshape(N, N, nH).transpose(2, 0, 1)
+        combined = rel[None].astype(jnp.float32)
+        if shift > 0:
+            combined = combined + jnp.asarray(
+                shifted_window_mask(H, W, window, shift))[:, None]
+
+        params = (
+            gv("norm1")["scale"].astype(jnp.float32),
+            gv("norm1")["bias"].astype(jnp.float32),
+            attn_p["qkv"]["kernel"].astype(cdt),
+            attn_p["qkv"]["bias"].astype(cdt),
+            attn_p["proj"]["kernel"].astype(cdt),
+            attn_p["proj"]["bias"].astype(cdt),
+            gv("norm2")["scale"].astype(jnp.float32),
+            gv("norm2")["bias"].astype(jnp.float32),
+            gv("mlp")["fc1"]["kernel"].astype(cdt),
+            gv("mlp")["fc1"]["bias"].astype(cdt),
+            gv("mlp")["fc2"]["kernel"].astype(cdt),
+            gv("mlp")["fc2"]["bias"].astype(cdt),
+        )
+
+        xm = x.reshape(B, H, W, C)
+        if shift > 0:
+            xm = jnp.roll(xm, shift=(-shift, -shift), axis=(1, 2))
+        windows = window_partition(xm, window).astype(cdt)
+        out = swin_half_block(windows, params, combined, dp, scale, nH,
+                              interpret)
         xm = window_reverse(out, window, H, W)
         if shift > 0:
             xm = jnp.roll(xm, shift=(shift, shift), axis=(1, 2))

@@ -1699,9 +1699,13 @@ def _stored_block_bwd(x, params, bias, dp, qkv, ctx, g, scale, num_heads,
     dp1 = dp[0] if dp is not None else None        # (BW*N, 1) f32
     dp2 = dp[1] if dp is not None else None
 
-    use_fused_bwd = (dt == jnp.bfloat16 and C <= 448
-                     and (BW * N) % 8 == 0
-                     and not os.environ.get("MVLT_NO_FUSED_BWD"))
+    fused_ok = (dt == jnp.bfloat16 and (BW * N) % 8 == 0
+                and not os.environ.get("MVLT_NO_FUSED_BWD"))
+    # MLP-half kernel: dw1/dw2 (C, 4C) f32 accumulators must BOTH sit in
+    # VMEM -> C <= 448.  qkv-tail kernel: one (C, 3C) f32 accumulator ->
+    # fits through C = 768 (wide-stage training path).
+    use_fused_bwd = fused_ok and C <= 448
+    use_fused_tail = fused_ok and C <= 768
 
     if use_fused_bwd:
         # fused MLP-half backward kernel (res1 recompute + LN2/fc/GELU
@@ -1765,9 +1769,9 @@ def _stored_block_bwd(x, params, bias, dp, qkv, ctx, g, scale, num_heads,
     dQKV2_d = dQKV2.astype(dt)
 
     # --- qkv head: recompute LN1 (elementwise) ---
-    if use_fused_bwd:
+    if use_fused_tail:
         # fused tail kernel: LN1 recompute/vjp + qkv weight/input grads
-        # stay in VMEM (same gate as the MLP-half kernel above)
+        # stay in VMEM
         dx2, dwqkv, dbqkv, dln1s, dln1b = swin_qkv_tail_bwd(
             x2d, dQKV2, dres1, wqkv, ln1s, ln1b, interpret=interp)
         dx = dx2.reshape(BW, N, C)
@@ -3220,6 +3224,165 @@ def _mlp_preln_bwd(rows, interpret, res, g):
 
 
 fused_mlp_preln.defvjp(_mlp_preln_fwd, _mlp_preln_bwd)
+
+
+# ---------------------------------------------------------------------------
+# wide-channel Swin block TRAINING path (stage 4 of Swin-S, stages 3-4 of
+# Swin-B): the whole-block kernel's weights (12C^2) exceed VMEM, so the
+# training forward splits at the natural residual seams into three
+# VMEM-light pieces — row-chunked LN1+qkv projection, the attention core,
+# and a fused proj/res1/LN2/MLP/res2 tail.  The seam tensors (QKV, ctx)
+# are exactly the residuals the store-residual backward consumes
+# (:func:`_stored_block_bwd`), so writing them to HBM costs nothing extra.
+# Replaces the reference's torch autograd through SwinTransformerBlock
+# (visual_feature_extractor.py:223-340) on wide stages.
+# ---------------------------------------------------------------------------
+
+def _ln_matmul_kernel(x_ref, lns_ref, lnb_ref, w_ref, b_ref, o_ref, *,
+                      eps: float, fast: bool):
+    """o = LN(x) @ w + b on a row chunk (pre-LN qkv head)."""
+    X = x_ref[:].astype(jnp.float32)
+    H = _ln(X, lns_ref[:], lnb_ref[:], eps=eps, fast=fast)
+    out = jax.lax.dot_general(H.astype(x_ref.dtype), w_ref[:],
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    o_ref[:] = (out + b_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _swin_tail_kernel(x_ref, ctx_ref, wproj_ref, bproj_ref, ln2s_ref,
+                      ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref, *rest,
+                      eps: float, fast: bool, has_dp: bool):
+    """res1 = x + dp1*(ctx@wproj + bproj); o = res1 + dp2*(mlp(LN2(res1)))
+    on a row chunk — the forward mirror of :func:`_swin_mlp_bwd_kernel`'s
+    recompute, so stored-backward gradients are consistent by
+    construction."""
+    rest = list(rest)
+    dp1_ref = rest.pop(0) if has_dp else None
+    dp2_ref = rest.pop(0) if has_dp else None
+    (o_ref,) = rest
+
+    def dot(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    X = x_ref[:].astype(jnp.float32)
+    attn = dot(ctx_ref[:], wproj_ref[:]) + bproj_ref[:].astype(jnp.float32)
+    res1 = X + (attn * dp1_ref[:] if has_dp else attn)
+    h2 = _ln(res1, ln2s_ref[:], ln2b_ref[:], eps=eps, fast=fast)
+    m = dot(h2.astype(x_ref.dtype), w1_ref[:]) \
+        + b1_ref[:].astype(jnp.float32)
+    m = _gelu_exact(m, fast)
+    out = dot(m.astype(x_ref.dtype), w2_ref[:]) \
+        + b2_ref[:].astype(jnp.float32)
+    o_ref[:] = (res1 + (out * dp2_ref[:] if has_dp else out)) \
+        .astype(o_ref.dtype)
+
+
+def _row_chunk_call(kernel, operands, row_operands, M, out_dims, out_dtypes,
+                    rows, interpret, vmem_mb=28):
+    """Shared plumbing for 1-D row-grid kernels: pads rows to a chunk
+    multiple, row-blocks the (M, ·) operands in ``row_operands`` (by
+    position) and broadcasts the rest."""
+    R = rows
+    M_pad = -(-M // R) * R
+    ops = []
+    in_specs = []
+    for i, a in enumerate(operands):
+        if i in row_operands:
+            if a.shape[0] != M_pad:
+                a = jnp.pad(a, ((0, M_pad - a.shape[0]), (0, 0)))
+            in_specs.append(pl.BlockSpec((R, a.shape[1]), lambda i: (i, 0),
+                                         memory_space=pltpu.VMEM))
+        else:
+            in_specs.append(pl.BlockSpec(
+                a.shape, (lambda nd: lambda i: (0,) * nd)(a.ndim),
+                memory_space=pltpu.VMEM))
+        ops.append(a)
+    out_specs = tuple(pl.BlockSpec((R, d), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)
+                      for d in out_dims)
+    out_shape = tuple(jax.ShapeDtypeStruct((M_pad, d), dt)
+                      for d, dt in zip(out_dims, out_dtypes))
+    if len(out_dims) == 1:
+        out_specs, out_shape = out_specs[0], out_shape[0]
+    out = pl.pallas_call(
+        kernel, grid=(M_pad // R,), in_specs=in_specs,
+        out_specs=out_specs, out_shape=out_shape, interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_mb * 1024 * 1024),
+    )(*ops)
+    outs = out if isinstance(out, tuple) else (out,)
+    outs = tuple(o[:M] for o in outs)
+    return outs if len(outs) > 1 else outs[0]
+
+
+def _half_train_forward(x, params, bias, dp, scale, num_heads, interpret,
+                        save_res):
+    """Three-piece wide-C training forward; returns (out, qkv, ctx) flat
+    (qkv/ctx are the stored-backward residuals)."""
+    (ln1s, ln1b, wqkv, bqkv, wproj, bproj,
+     ln2s, ln2b, w1, b1, w2, b2) = params
+    BW, N, C = x.shape
+    M = BW * N
+    fast = x.dtype == jnp.bfloat16 and not interpret
+    x2 = x.reshape(M, C)
+    b_row = lambda a: a.reshape(1, -1)
+
+    qkv2 = _row_chunk_call(
+        functools.partial(_ln_matmul_kernel, eps=1e-5, fast=fast),
+        [x2, b_row(ln1s), b_row(ln1b), wqkv, b_row(bqkv)], {0},
+        M, (3 * C,), (x.dtype,), rows=128, interpret=interpret)
+
+    ctx = attention_core(qkv2.reshape(BW, N, 3 * C), bias, scale,
+                         num_heads, interpret=interpret)
+    ctx2 = ctx.reshape(M, C)
+
+    operands = [x2, ctx2, wproj, b_row(bproj), b_row(ln2s), b_row(ln2b),
+                w1, b_row(b1), w2, b_row(b2)]
+    row_ops = {0, 1}
+    if dp is not None:
+        operands += [dp[0], dp[1]]
+        row_ops |= {10, 11}
+    out2 = _row_chunk_call(
+        functools.partial(_swin_tail_kernel, eps=1e-5, fast=fast,
+                          has_dp=dp is not None),
+        operands, row_ops, M, (C,), (x.dtype,), rows=128,
+        interpret=interpret)
+    out = out2.reshape(BW, N, C)
+    if save_res:
+        return out, qkv2, ctx2
+    return out, None, None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def swin_half_block(x, params, bias, dp, scale: float, num_heads: int,
+                    interpret: bool = False):
+    """Wide-channel Swin block for TRAINING: kernel forward in three
+    VMEM-light pieces, store-residual backward (the same
+    :func:`_stored_block_bwd` the whole-block kernel uses).
+
+    x: (BW, N, C) windows; params as in :func:`swin_full_block`; bias the
+    combined (nWb, nH, N, N) f32; ``dp`` None or ((BW*N, 1), (BW*N, 1))
+    f32 DropPath multipliers."""
+    out, _, _ = _half_train_forward(x, tuple(params), bias, dp, scale,
+                                    num_heads, interpret, save_res=False)
+    return out
+
+
+def _swin_half_block_fwd(x, params, bias, dp, scale, num_heads, interpret):
+    out, qkv, ctx = _half_train_forward(x, tuple(params), bias, dp, scale,
+                                        num_heads, interpret, save_res=True)
+    return out, (x, tuple(params), bias, dp, qkv, ctx)
+
+
+def _swin_half_block_bwd(scale, num_heads, interpret, res, g):
+    x, params, bias, dp, qkv, ctx = res
+    interp = interpret or jax.default_backend() != "tpu"
+    return _stored_block_bwd(x, params, bias, dp, qkv, ctx, g, scale,
+                             num_heads, interp)
+
+
+swin_half_block.defvjp(_swin_half_block_fwd, _swin_half_block_bwd)
 
 
 # ---------------------------------------------------------------------------

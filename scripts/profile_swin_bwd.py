@@ -42,6 +42,10 @@ stages = [
     (2, 384, (14, 14), 12),
     (3, 768, (7, 7), 24),
 ]
+_only = os.environ.get("STAGES")
+if _only:
+    keep = {int(s) - 1 for s in _only.split(",")}
+    stages = [s for s in stages if s[0] in keep]
 
 for i, dim, res, heads in stages:
     for shift, tag in ((0, "W-MSA "), (3, "SW-MSA")):

@@ -1004,3 +1004,93 @@ def test_attention_core_bwd_flat_matches_3d(BW, n, C, nH, nWb):
                                atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(got_dbias), np.asarray(want_dbias),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_swin_half_block_matches_xla():
+    """swin_half_block (three-piece wide-C training forward + stored
+    backward) == the pure-XLA whole-block reference, fwd and grads."""
+    from mvlt_tpu.ops.pallas_attn import _full_xla_ref, swin_half_block
+    rng = np.random.default_rng(24)
+    BW, N, C, nH = 4, 16, 16, 2
+    x = jnp.asarray(rng.normal(size=(BW, N, C)) * 0.5, jnp.float32)
+    params = _mk_block_params(rng, C)
+    bias = jnp.asarray(rng.normal(size=(1, nH, N, N)) * 0.1, jnp.float32)
+    scale = (C // nH) ** -0.5
+    got = swin_half_block(x, params, bias, None, scale, nH, True)
+    want = _full_xla_ref(x, params, bias, scale, nH)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+    g1 = jax.grad(lambda x, p, b: swin_half_block(
+        x, p, b, None, scale, nH, True).sum(),
+        argnums=(0, 1, 2))(x, params, bias)
+    g2 = jax.grad(lambda x, p, b: _full_xla_ref(
+        x, p, b, scale, nH).sum(), argnums=(0, 1, 2))(x, params, bias)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_swin_half_block_droppath():
+    """swin_half_block with DropPath multipliers == fastcore reference."""
+    from mvlt_tpu.ops.pallas_attn import _full_ref_fastcore, swin_half_block
+    rng = np.random.default_rng(25)
+    BW, N, C, nH = 4, 16, 16, 2
+    x = jnp.asarray(rng.normal(size=(BW, N, C)) * 0.5, jnp.float32)
+    params = _mk_block_params(rng, C)
+    bias = jnp.asarray(rng.normal(size=(1, nH, N, N)) * 0.1, jnp.float32)
+    scale = (C // nH) ** -0.5
+    keep = 0.8
+    m1 = jnp.asarray(rng.integers(0, 2, (BW * N, 1)), jnp.float32) / keep
+    m2 = jnp.asarray(rng.integers(0, 2, (BW * N, 1)), jnp.float32) / keep
+    got = swin_half_block(x, params, bias, (m1, m2), scale, nH, True)
+    want = _full_ref_fastcore(x, params, bias, (m1, m2), scale, nH, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+    g1 = jax.grad(lambda x, p: swin_half_block(
+        x, p, bias, (m1, m2), scale, nH, True).sum(),
+        argnums=(0, 1))(x, params)
+    g2 = jax.grad(lambda x, p: _full_ref_fastcore(
+        x, p, bias, (m1, m2), scale, nH, True).sum(),
+        argnums=(0, 1))(x, params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_half_train_path_in_model():
+    """SwinBlock 'interpret_half' TRAINING route (drop_path=0, shifted)
+    == plain XLA block output, fwd and grads."""
+    from flax import linen as nn
+    from mvlt_tpu.models.backbones.swin import SwinBlock
+
+    rng = np.random.default_rng(26)
+    dim, res, heads = 32, (8, 8), 4
+
+    def build(impl):
+        class One(nn.Module):
+            @nn.compact
+            def __call__(self, x, det):
+                return SwinBlock(dim=dim, input_resolution=res,
+                                 num_heads=heads, window_size=4,
+                                 shift_size=2, attn_impl=impl,
+                                 name="b")(x, det)
+        return One()
+
+    x = jnp.asarray(rng.normal(size=(2, 64, dim)) * 0.5, jnp.float32)
+    m_half, m_xla = build("interpret_half"), build("xla")
+    v = m_half.init(jax.random.PRNGKey(0), x, True)
+    a = m_half.apply(v, x, False, rngs={"dropout": jax.random.PRNGKey(1)})
+    b = m_xla.apply(v, x, True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-5, rtol=1e-5)
+    ga = jax.grad(lambda v, x: m_half.apply(
+        v, x, False, rngs={"dropout": jax.random.PRNGKey(1)}).sum(),
+        argnums=(0, 1))(v, x)
+    gb = jax.grad(lambda v, x: m_xla.apply(v, x, True).sum(),
+                  argnums=(0, 1))(v, x)
+    for p, q in zip(jax.tree_util.tree_leaves(ga),
+                    jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(q),
+                                   atol=1e-4, rtol=1e-4)
