@@ -29,6 +29,7 @@ checkpoints (fused qkv) and from HF ``SwinModel`` (split q/k/v) — see
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Optional, Tuple
 
 import jax
@@ -313,7 +314,8 @@ class SwinBlock(nn.Module):
         # VMEM-light pieces (LN1+qkv / attention core / proj+LN2+MLP tail)
         # and the backward is the stored-residual composition.
         train_half_ok = not self.is_initializing() and not deterministic \
-            and (self.drop == 0.0 and self.attn_drop == 0.0) and (
+            and (self.drop == 0.0 and self.attn_drop == 0.0) \
+            and not os.environ.get("MVLT_NO_HALF_TRAIN") and (
                 impl == "interpret_half"
                 or (impl == "auto" and _tpu_native_ok() and not weights_fit))
         if train_half_ok:
