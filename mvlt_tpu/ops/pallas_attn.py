@@ -738,27 +738,28 @@ def _full_kernel_dp_save(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
 def _full_shift_kernel_dp(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
                           wproj_ref, bproj_ref, ln2s_ref, ln2b_ref, w1_ref,
                           b1_ref, w2_ref, b2_ref, bias_ref, mask_ref,
-                          dp1_ref, dp2_ref, o_ref, ctx_ref, s_ref, d1_ref,
-                          d2_ref, *, scale: float, num_heads: int,
+                          dp1_ref, dp2_ref, o_ref, ctx_ref, s_ref, *,
+                          scale: float, num_heads: int,
                           window_n: int, runs, img_rows: int, n_img: int,
                           mlp_chunks: int = 1, fast: bool = False):
-    """Shift-folded block with DropPath multipliers: the dp vectors are
-    permuted alongside x so each row keeps its own multiplier."""
+    """Shift-folded block with DropPath multipliers.  DropPath drops a
+    whole residual branch PER IMAGE, so the dp vectors are constant
+    across each image's ``img_rows`` rows — and since the shift
+    permutation only moves rows within an image, permuting dp alongside
+    x is the identity.  The multipliers are therefore used in place (no
+    permuted scratches, no copy runs), which keeps the dp variant at the
+    non-dp kernel's scoped-VMEM footprint."""
     refs = (ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
             ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref)
     for im in range(n_img):
         b0 = im * img_rows
         for dst, src_, ln in runs:
             s_ref[b0 + dst:b0 + dst + ln] = x_ref[b0 + src_:b0 + src_ + ln]
-            d1_ref[b0 + dst:b0 + dst + ln] = \
-                dp1_ref[b0 + src_:b0 + src_ + ln]
-            d2_ref[b0 + dst:b0 + dst + ln] = \
-                dp2_ref[b0 + src_:b0 + src_ + ln]
     X = s_ref[:].astype(jnp.float32)
     out = _full_body(X, x_ref.dtype, refs, bias_ref, ctx_ref, scale=scale,
                      num_heads=num_heads, window_n=window_n, fast=fast,
                      mask_ref=mask_ref, mlp_chunks=mlp_chunks,
-                     dp1_ref=d1_ref, dp2_ref=d2_ref)
+                     dp1_ref=dp1_ref, dp2_ref=dp2_ref)
     outc = out.astype(o_ref.dtype)
     for im in range(n_img):
         b0 = im * img_rows
@@ -799,25 +800,23 @@ def _full_shift_kernel_dp_save(x_ref, ln1s_ref, ln1b_ref, wqkv_ref,
                                bqkv_ref, wproj_ref, bproj_ref, ln2s_ref,
                                ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                                bias_ref, mask_ref, dp1_ref, dp2_ref, o_ref,
-                               qkv_ref, ctx_ref, s_ref, d1_ref, d2_ref, *,
+                               qkv_ref, ctx_ref, s_ref, *,
                                scale: float, num_heads: int, window_n: int,
                                runs, img_rows: int, n_img: int,
                                mlp_chunks: int = 1, fast: bool = False):
+    """Store-residual variant of :func:`_full_shift_kernel_dp`; the same
+    per-image-constant argument lets dp be used in place (unpermuted)."""
     refs = (ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
             ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref)
     for im in range(n_img):
         b0 = im * img_rows
         for dst, src_, ln in runs:
             s_ref[b0 + dst:b0 + dst + ln] = x_ref[b0 + src_:b0 + src_ + ln]
-            d1_ref[b0 + dst:b0 + dst + ln] = \
-                dp1_ref[b0 + src_:b0 + src_ + ln]
-            d2_ref[b0 + dst:b0 + dst + ln] = \
-                dp2_ref[b0 + src_:b0 + src_ + ln]
     X = s_ref[:].astype(jnp.float32)
     out = _full_body(X, x_ref.dtype, refs, bias_ref, ctx_ref, scale=scale,
                      num_heads=num_heads, window_n=window_n, fast=fast,
                      mask_ref=mask_ref, mlp_chunks=mlp_chunks,
-                     dp1_ref=d1_ref, dp2_ref=d2_ref, qkv_ref=qkv_ref)
+                     dp1_ref=dp1_ref, dp2_ref=dp2_ref, qkv_ref=qkv_ref)
     outc = out.astype(o_ref.dtype)
     for im in range(n_img):
         b0 = im * img_rows
@@ -853,11 +852,11 @@ def shift_kernel_feasible(H: int, W: int, window: int, C: int,
     if batch > 128:
         return False
     runs = len(_shift_runs(H, W, window, window // 2))
-    # the dp variant adds permuted-multiplier scratches and input blocks;
-    # stage-1 geometry (896 runs) already sits at the scoped-VMEM cliff
-    # and tips over with them (observed 18.3M) — roll in XLA instead
-    if with_dp and runs > 300:
-        return False
+    # (the dp variant once permuted multipliers through scratch and was
+    # VMEM-blocked at stage-1's 896 runs; DropPath multipliers are
+    # per-image constants so the permutation is the identity — dp now
+    # ships unpermuted and the dp calls carry an explicit 24MB scoped-
+    # vmem margin, so the same runs cap applies with and without dp)
     return runs <= 1000
 
 
@@ -934,10 +933,14 @@ def _full_forward_shift(x, params, bias, *, scale, num_heads, interpret,
                 + [const_spec(rel_m.shape), const_spec(mask_m.shape),
                    dp_spec, dp_spec],
                 out_specs=out_specs, out_shape=out_shape,
-                scratch_shapes=[pltpu.VMEM((rows, C), x.dtype),
-                                pltpu.VMEM((rows, 1), jnp.float32),
-                                pltpu.VMEM((rows, 1), jnp.float32)],
+                scratch_shapes=[pltpu.VMEM((rows, C), x.dtype)],
                 interpret=interpret,
+                # stage-1 geometry (896 runs) sits just over the 16MB
+                # default scoped-vmem accounting (observed 18.3M when the
+                # surrounding jit keeps extra buffers resident) — give the
+                # margin explicitly rather than losing the fold.
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=24 * 1024 * 1024),
             )(x2, *params, rel_m, mask_m, dp[0], dp[1])
         else:
             out, qkv, ctx = pl.pallas_call(
@@ -969,10 +972,12 @@ def _full_forward_shift(x, params, bias, *, scale, num_heads, interpret,
             out_specs=x_spec,
             out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
             scratch_shapes=[pltpu.VMEM((rows, C), x.dtype),
-                            pltpu.VMEM((rows, C), x.dtype),
-                            pltpu.VMEM((rows, 1), jnp.float32),
-                            pltpu.VMEM((rows, 1), jnp.float32)],
+                            pltpu.VMEM((rows, C), x.dtype)],
             interpret=interpret,
+            # see the dp_save variant above: explicit margin over the
+            # 16MB default for stage-1's 896-run fold
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=24 * 1024 * 1024),
         )(x2, *params, rel_m, mask_m, dp[0], dp[1])
         return out.reshape(BW, N, C)
     out = pl.pallas_call(
@@ -1309,7 +1314,10 @@ def swin_full_block(x, params, bias, scale: float, num_heads: int,
     multipliers (0 or 1/keep) for the attention and MLP branches — lets
     stochastic-depth TRAINING forwards use the fused kernel.  Backward
     recomputes via the fast-core XLA composition (Pallas attention-core
-    VJP + XLA matmuls)."""
+    VJP + XLA matmuls).  With ``shift_spec`` the multipliers must be
+    PER-IMAGE CONSTANT (true of DropPath by definition — it drops whole
+    residual branches per sample): the shift fold then uses them in
+    place instead of permuting them through scratch."""
     if shift_spec is not None:
         return _full_forward_shift(x, tuple(params), bias, scale=scale,
                                    num_heads=num_heads, interpret=interpret,
@@ -3842,9 +3850,13 @@ def _full_ref_fastcore(x, params, bias, dp, scale, num_heads, interpret,
         xi = x.reshape(-1, nW * N, C)
         x_in = jnp.take(xi, perm, axis=1).reshape(BW, N, C)
         if dp is not None:
-            # permute the per-row multipliers alongside x (matches
-            # _full_shift_kernel_dp) so generic per-row callers stay
-            # forward/backward consistent, not just per-sample-constant dp
+            # permute the per-row multipliers alongside x so generic
+            # per-row callers stay forward/backward consistent.  (The
+            # kernel itself uses dp UNPERMUTED — valid only for the
+            # per-image-constant multipliers DropPath produces, where the
+            # within-image permutation is the identity; this reference
+            # keeps the general semantics so the parity test proves the
+            # identity claim rather than assuming it.)
             dp = tuple(
                 jnp.take(d.reshape(-1, nW * N, 1), perm, axis=1)
                 .reshape(BW * N, 1) for d in dp)

@@ -577,6 +577,55 @@ def test_shift_folded_block_grad_matches_ref():
                                    atol=1e-4, rtol=1e-4)
 
 
+def test_shift_folded_block_droppath_per_image():
+    """Shift-folded block with PER-IMAGE-CONSTANT DropPath multipliers
+    (the production contract: DropPath drops whole residual branches per
+    sample) == the permuting fastcore reference, fwd and grad.  The
+    kernel uses dp in place — the shift permutation moves rows only
+    within an image, so permuting a per-image-constant vector is the
+    identity."""
+    from mvlt_tpu.ops.pallas_attn import (_full_ref_fastcore,
+                                          swin_full_block)
+    rng = np.random.default_rng(27)
+    H = W = 8
+    win, shift, C, nH, B = 4, 2, 16, 2, 2
+    N = win * win
+    nW = 4
+    x = jnp.asarray(rng.normal(size=(B * nW, N, C)) * 0.5, jnp.float32)
+    params = _mk_block_params(rng, C)
+    rel = jnp.asarray(rng.normal(size=(1, nH, N, N)) * 0.1, jnp.float32)
+    mask = jnp.asarray(
+        np.where(rng.random((nW, N, N)) < 0.2, -100.0, 0.0), jnp.float32)
+    scale = (C // nH) ** -0.5
+    keep = 0.8
+    rows = nW * N
+
+    def draw():
+        m = jnp.asarray(rng.integers(0, 2, (B,)), jnp.float32) / keep
+        return jnp.repeat(m, rows)[:, None]
+
+    dp = (draw(), draw())
+    spec = (H, W, win, shift)
+
+    got = swin_full_block(x, params, (rel, mask), scale, nH,
+                          interpret=True, shift_spec=spec, dp=dp)
+    want = _full_ref_fastcore(x, params, (rel, mask), dp, scale, nH,
+                              True, shift_spec=spec)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+    g1 = jax.grad(lambda x, p, r: swin_full_block(
+        x, p, (r, mask), scale, nH, interpret=True, shift_spec=spec,
+        dp=dp).sum(), argnums=(0, 1, 2))(x, params, rel)
+    g2 = jax.grad(lambda x, p, r: _full_ref_fastcore(
+        x, p, (r, mask), dp, scale, nH, True, shift_spec=spec).sum(),
+        argnums=(0, 1, 2))(x, params, rel)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
 def test_fused_attn_ln_masked_variants():
     """Masked fused attention half (qbias / amask / hmask in every
     combination) == the mask-applied XLA reference, fwd and grad."""
