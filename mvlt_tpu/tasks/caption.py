@@ -50,22 +50,40 @@ def train_caption(runner: TaskRunner, train_ds, test_ds=None,
 def eval_caption(runner: TaskRunner, test_ds, tokenizer,
                  batch_size: int = 16, num_beams: int = 5,
                  strategy: str = "unilm", max_samples: int = 0,
-                 include_meteor: bool = True) -> Dict[str, float]:
+                 include_meteor: bool = True,
+                 quant: str = "") -> Dict[str, float]:
     """Beam/greedy decode the test split, detokenize (stop at
     [SEP]/[PAD]/[END], reference :335-346), score with the metrics stack +
-    the R2Gen-style double-check (:370-376)."""
+    the R2Gen-style double-check (:370-376).
+
+    ``quant="int8w"``: weight-only int8 serving — the big 2-D kernels
+    are held in device memory as int8 + per-channel scales and
+    dequantized to bf16 inside the jitted decode (see ``ops/quant.py``);
+    an extension over the reference, which serves fp16/fp32 only."""
     model = runner.model
     spec = GenerationSpec.from_config(runner.config, num_beams=num_beams,
                                       strategy=strategy)
 
+    params = runner.state.params
+    if quant == "int8w":
+        from mvlt_tpu.ops.quant import dequantize_tree, quantize_tree_jit
+        params, n_q = quantize_tree_jit(params)
+        runner.logger.info("int8w serving: %d tensors quantized", n_q)
+    elif quant:
+        raise ValueError(f"unknown quant mode {quant!r}")
+
     def _decode_factory():
         def decode(variables, image):
+            if quant == "int8w":
+                variables = dict(variables,
+                                 params=dequantize_tree(variables["params"]))
             return generate(model, variables, image, spec)
         return decode
 
-    decode = runner.compiled(("caption_decode", spec), _decode_factory)
+    decode = runner.compiled(("caption_decode", spec, quant),
+                             _decode_factory)
 
-    variables = {"params": runner.state.params,
+    variables = {"params": params,
                  **runner.state.extra_variables}
     loader = DataLoader(test_ds, batch_size, shuffle=False)
     gts, preds = [], []

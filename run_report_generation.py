@@ -56,6 +56,10 @@ def parse_args():
     p.add_argument("--do_train", action="store_true", default=None)
     p.add_argument("--no_train", dest="do_train", action="store_false")
     p.add_argument("--do_test", action="store_true")
+    p.add_argument("--quant", default="", choices=["", "int8w"],
+                   help="weight-only int8 serving for --do_test decode "
+                        "(big 2-D kernels held int8 in device memory, "
+                        "dequantized to bf16 inside the jitted decode)")
     return p.parse_args()
 
 
@@ -146,7 +150,8 @@ def main():
     if args.do_test:
         scores = eval_caption(runner, test_ds, tokenizer,
                               num_beams=args.num_beams,
-                              strategy=args.learning_strategy)
+                              strategy=args.learning_strategy,
+                              quant=args.quant)
         print(scores)
 
 

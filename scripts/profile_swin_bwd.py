@@ -16,7 +16,7 @@ from mvlt_tpu.models.backbones.swin import SwinBlock
 from mvlt_tpu.flagship import zeros_init
 
 BATCH = int(os.environ.get("B", "32"))
-ITERS = 20
+ITERS = int(os.environ.get("ITERS", "20"))
 dt = jnp.bfloat16
 key = jax.random.PRNGKey(0)
 

@@ -17,7 +17,7 @@ import numpy as np
 from mvlt_tpu.flagship import flagship_vqa_config, zeros_init
 from mvlt_tpu.models.heads import PretrainModel
 
-ITERS = 20
+ITERS = int(os.environ.get("ITERS", "20"))
 cfg = dataclasses.replace(flagship_vqa_config(), itm_task=True, max_length=80)
 model = PretrainModel(cfg, dtype=jnp.bfloat16)
 rng = np.random.default_rng(0)
