@@ -955,6 +955,11 @@ def _full_forward_shift(x, params, bias, *, scale, num_heads, interpret,
                 out_specs=out_specs, out_shape=out_shape,
                 scratch_shapes=[pltpu.VMEM((rows, C), x.dtype)],
                 interpret=interpret,
+                # same stage-1 margin as the dp variants: grad-of-
+                # deterministic routes here and was observed 309K over
+                # the 16MB default accounting under jvp.
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=24 * 1024 * 1024),
             )(x2, *params, rel_m, mask_m)
         return out.reshape(BW, N, C), qkv, ctx
     if dp is not None:
@@ -993,6 +998,8 @@ def _full_forward_shift(x, params, bias, *, scale, num_heads, interpret,
         scratch_shapes=[pltpu.VMEM((rows, C), x.dtype),
                         pltpu.VMEM((rows, C), x.dtype)],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024),
     )(x2, *params, rel_m, mask_m)
     return out.reshape(BW, N, C)
 
