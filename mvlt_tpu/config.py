@@ -182,6 +182,13 @@ class MVLTConfig:
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     adam_eps: float = 1e-6
+    # First-moment storage dtype. The AdamW update is HBM-traffic-bound
+    # (~7.6 ms/step at the 206M-param flagship, measured at the f32
+    # roofline); bf16 mu cuts ~0.8 GB of that traffic per step with
+    # negligible effect on the update direction (mu is a smoothed
+    # average; the variance-controlling nu stays f32). Set to
+    # "float32" for bit-level optimizer parity with the reference.
+    adam_mu_dtype: str = "bfloat16"
 
     def with_tokenizer(self, tokenizer) -> "MVLTConfig":
         """Resolve special token ids + vocab size from a tokenizer

@@ -43,7 +43,8 @@ def make_optimizer(config: MVLTConfig,
                    grad_accum_steps: int = 1) -> optax.GradientTransformation:
     lr = schedule if schedule is not None else config.lr
     tx = optax.adamw(lr, b1=config.adam_b1, b2=config.adam_b2,
-                     eps=config.adam_eps, weight_decay=config.weight_decay)
+                     eps=config.adam_eps, weight_decay=config.weight_decay,
+                     mu_dtype=jnp.dtype(config.adam_mu_dtype))
     if grad_clip_norm is not None:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip_norm), tx)
     if grad_accum_steps > 1:

@@ -110,20 +110,53 @@ def run(tag):
         dqkv, dbias = pa.attention_core_bwd(qkv, g, bias, scale, nH)
         return dqkv.astype(jnp.float32).sum() * 1e-6 + dbias.sum() * 1e-6
 
-    # 4. stored backward alone (all pieces incl. core bwd)
+    # 4. stored backward alone (all pieces incl. core bwd); qkv must be
+    # FLAT (BW*N, 3C) as emitted by the save_res forward kernels
     def stored_b(x, params, bias, qkv, ctx, g):
-        dx, dp, db, _ = pa._stored_block_bwd(x, params, bias, None, qkv,
+        dx, dp, db, _ = pa._stored_block_bwd(x, params, bias, None,
+                                             qkv.reshape(-1, 3 * C),
                                              ctx, g, scale, nH, False)
         return dx.astype(jnp.float32).sum() * 1e-6 + db.sum() * 1e-6 + sum(
             jnp.sum(t).astype(jnp.float32) for t in dp)
+
+    # 5. individual stored-backward pieces (flat-row layouts, as the
+    # production composition calls them)
+    x2d, ctx2, g2d = x.reshape(-1, C), ctx.reshape(-1, C), g.reshape(-1, C)
+    qkv2 = qkv.reshape(-1, 3 * C)
+    (ln1s, ln1b, wqkv, bqkv, wproj, bproj,
+     ln2s, ln2b, w1, b1, w2, b2) = params
+
+    def mlp_piece(x2d, ctx2, g2d):
+        outs = pa.swin_mlp_half_bwd(x2d, ctx2, g2d, wproj, bproj, ln2s,
+                                    ln2b, w1, b1, w2, b2, None,
+                                    interpret=False)
+        return sum(jnp.sum(t).astype(jnp.float32) for t in outs
+                   if t is not None) * 1e-6
+
+    def core_piece(qkv2, g2d):
+        dqkv2, dbias = pa.attention_core_bwd_flat(qkv2, g2d, bias, N,
+                                                  scale, nH)
+        return dqkv2.astype(jnp.float32).sum() * 1e-6 + dbias.sum() * 1e-6
+
+    def tail_piece(x2d, qkv2, g2d):
+        # prod passes f32 dQKV (core-bwd output) and f32 dres1
+        outs = pa.swin_qkv_tail_bwd(x2d, qkv2.astype(jnp.float32),
+                                    g2d.astype(jnp.float32),
+                                    wqkv, ln1s, ln1b, interpret=False)
+        return sum(jnp.sum(t).astype(jnp.float32) for t in outs) * 1e-6
 
     f = timeit(fwd, x, params, bias)
     t_fb = timeit(fb, x, params, bias)
     cf = timeit(core_f, qkv, bias)
     cb = timeit(core_b, qkv, g, bias)
     sb = timeit(stored_b, x, params, bias, qkv, ctx, g)
+    mp = timeit(mlp_piece, x2d, ctx2, g2d)
+    cp = timeit(core_piece, qkv2, g2d)
+    tp = timeit(tail_piece, x2d, qkv2, g2d)
     print(f"stage {tag} ({HW}x{HW}x{C}): fwd {f:6.2f}  f+b {t_fb:6.2f}  "
-          f"core_fwd {cf:6.2f}  core_bwd {cb:6.2f}  stored_bwd {sb:6.2f}",
+          f"core_fwd {cf:6.2f}  core_bwd {cb:6.2f}  stored_bwd {sb:6.2f}\n"
+          f"    pieces: mlp_half_bwd {mp:6.2f}  core_bwd_flat {cp:6.2f}  "
+          f"qkv_tail_bwd {tp:6.2f}",
           flush=True)
 
 
