@@ -190,6 +190,21 @@ class MVLTConfig:
     # "float32" for bit-level optimizer parity with the reference.
     adam_mu_dtype: str = "bfloat16"
 
+    def __post_init__(self):
+        # Every special token is embedded through the word-embedding table
+        # ((vocab_size + 1) rows; the +1 row is the reference's extra MLM
+        # row, never a token id).  An out-of-range id silently becomes NaN
+        # under jnp.take's fill mode, so fail at construction instead.
+        vocab = self.fusion.vocab_size
+        for name in ("pad_token_id", "eos_token_id", "cls_token_id",
+                     "sep_token_id", "mask_token_id"):
+            tid = getattr(self, name)
+            if not 0 <= tid < vocab:
+                raise ValueError(
+                    f"{name}={tid} is outside the word-embedding vocab "
+                    f"(vocab_size={vocab}); pass in-vocab special ids "
+                    f"(e.g. via with_tokenizer) when shrinking the vocab.")
+
     def with_tokenizer(self, tokenizer) -> "MVLTConfig":
         """Resolve special token ids + vocab size from a tokenizer
         (parity: ``update_special_tokens``, config.py:23-27)."""

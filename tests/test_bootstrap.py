@@ -30,7 +30,8 @@ def _tiny_cfg():
         fusion=FusionConfig(vocab_size=64, hidden_size=32,
                             num_hidden_layers=1, num_attention_heads=2,
                             intermediate_size=64),
-        conv="swin", swin=TINY_SWIN, result_num=4)
+        conv="swin", swin=TINY_SWIN, result_num=4,
+        cls_token_id=3, sep_token_id=4, eos_token_id=5, mask_token_id=6)
 
 
 def _leaves(tree):

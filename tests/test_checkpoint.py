@@ -22,6 +22,7 @@ def tiny_state():
         fusion=FusionConfig(hidden_size=32, num_hidden_layers=1,
                             num_attention_heads=2, intermediate_size=64,
                             vocab_size=64, max_position_embeddings=64),
+        cls_token_id=3, sep_token_id=4, eos_token_id=5, mask_token_id=6,
         result_num=3)
     model = VQAModel(cfg)
     img = jnp.zeros((2, 3, 32, 32), jnp.float32)

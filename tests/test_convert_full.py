@@ -137,7 +137,9 @@ FCFG = FusionConfig(hidden_size=16, num_hidden_layers=1,
                     num_attention_heads=2, intermediate_size=32,
                     vocab_size=40, max_position_embeddings=64)
 MCFG = MVLTConfig(conv="resnet50", fusion=FCFG,
-                  resnet=ResNetConfig(layers=(1, 1), width=8), result_num=4)
+                  resnet=ResNetConfig(layers=(1, 1), width=8), result_num=4,
+                  cls_token_id=3, sep_token_id=4, eos_token_id=5,
+                  mask_token_id=6)
 
 
 @pytest.mark.parametrize("task,model_cls,converter,init_args", [
