@@ -182,13 +182,14 @@ class MVLTConfig:
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     adam_eps: float = 1e-6
-    # First-moment storage dtype. The AdamW update is HBM-traffic-bound
-    # (~7.6 ms/step at the 206M-param flagship, measured at the f32
-    # roofline); bf16 mu cuts ~0.8 GB of that traffic per step with
-    # negligible effect on the update direction (mu is a smoothed
-    # average; the variance-controlling nu stays f32). Set to
-    # "float32" for bit-level optimizer parity with the reference.
-    adam_mu_dtype: str = "bfloat16"
+    # First-moment storage dtype. "float32" (the default) keeps bit-level
+    # optimizer parity with the reference AdamW. "bfloat16" is an opt-in
+    # perf knob: the update is HBM-traffic-bound (~7.6 ms/step at the
+    # 206M-param flagship) and bf16 mu cuts ~0.8 GB of that traffic per
+    # step with negligible effect on the update direction (mu is a
+    # smoothed average; the variance-controlling nu stays f32). Measured
+    # end-to-end step delta is recorded in PERF.md.
+    adam_mu_dtype: str = "float32"
 
     def __post_init__(self):
         # Every special token is embedded through the word-embedding table
@@ -310,6 +311,12 @@ class TrainConfig:
     remat_backbone: bool = False
     remat_fusion: bool = False
     grad_accum_steps: int = 1
+    # Host-loader worker processes (reference torch DataLoader
+    # num_workers=8, run_pretrain.py:255).  PIL decode/resize and the
+    # numpy normalize chain hold the GIL, so real-image feeding needs
+    # processes; 0 falls back to the threaded fetch path (fine for
+    # synthetic/cheap datasets).  Measured end-to-end in PERF.md.
+    num_workers: int = 8
     log_every: int = 50
     checkpoint_every_epochs: int = 1
     # overlap Orbax persistence with training: save() returns after the

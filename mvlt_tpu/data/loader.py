@@ -1,13 +1,14 @@
 """Host-side batching + prefetch loader (replaces torch DataLoader workers,
 ``run_pretrain.py:255`` num_workers=8).
 
-- worker *processes* for sample fetch + collate (``num_workers > 0``, the
-  default) — PIL convert/resize and the numpy normalize chain hold the
-  GIL, so a thread pool scales NEGATIVELY (measured: 1 thread 127
-  images/s, 8 threads 51); the reference's torch DataLoader uses
-  processes for the same reason.  Workers inherit the dataset via fork
-  (one-time cost), each builds a whole collated batch so IPC is one
-  pickled dict per batch,
+- worker *processes* for sample fetch + collate (``num_workers > 0``;
+  the constructor default is 0, but every task loop passes
+  ``TrainConfig.num_workers`` which defaults to 8) — PIL convert/resize
+  and the numpy normalize chain hold the GIL, so a thread pool scales
+  NEGATIVELY (measured: 1 thread 127 images/s, 8 threads 51); the
+  reference's torch DataLoader uses processes for the same reason.
+  Workers inherit the dataset via fork (one-time cost), each builds a
+  whole collated batch so IPC is one pickled dict per batch,
 - threaded fetch fallback (``num_workers=0``) for cheap/synthetic
   datasets where fork overhead dominates,
 - background prefetch queue overlapping host work with device steps,

@@ -67,12 +67,81 @@ def tiny_pretrain_config() -> MVLTConfig:
         itm_task=True, lr=1e-3)
 
 
-def dryrun_multichip(n_devices: int) -> None:
+def lower_flagship_multichip(n_devices: int, batch: int = 32,
+                             seq_len: int = 80) -> None:
+    """AOT-lower AND COMPILE (no execution) the FLAGSHIP-geometry pretrain
+    step (Swin-S @224 + BERT-base, MLM+ITM, b``batch``, L``seq_len``) over
+    an ``n_devices`` mesh, for BOTH partitioning modes: DP-only shard_map
+    and DP x TP GSPMD.  Inputs are abstract (``jax.ShapeDtypeStruct``), so
+    no flagship-sized arrays materialize — this validates that the REAL
+    shapes partition (Megatron rule coverage over every param, GSPMD
+    propagation through the full fwd+bwd+AdamW graph), which the tiny
+    dryrun geometry cannot (VERDICT r3 next #7)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mvlt_tpu.parallel import build_mesh
+    from mvlt_tpu.train import (create_train_state, make_optimizer,
+                                make_pretrain_step)
+
+    cfg = dataclasses.replace(flagship_vqa_config(), itm_task=True,
+                              max_length=seq_len)
+    model = PretrainModel(cfg, dtype=jnp.bfloat16)
+    batch_shapes = {
+        "image": jax.ShapeDtypeStruct((batch, 3, 224, 224), jnp.float32),
+        "caption_masked": jax.ShapeDtypeStruct((batch, seq_len), jnp.int32),
+        "caption_label": jax.ShapeDtypeStruct((batch, seq_len), jnp.int32),
+        "itm_label": jax.ShapeDtypeStruct((batch,), jnp.int32),
+    }
+    rng_shape = jax.eval_shape(lambda: jax.random.PRNGKey(0))
+    state_shapes = jax.eval_shape(
+        lambda img, cm, cl, il: create_train_state(
+            model, model.init(jax.random.PRNGKey(0), img, cm, cl, il),
+            make_optimizer(cfg)),
+        *(batch_shapes[k] for k in ("image", "caption_masked",
+                                    "caption_label", "itm_label")))
+
+    def with_shardings(shapes, shardings):
+        return jax.tree.map(
+            lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+            shapes, shardings)
+
+    devices = jax.devices()[:n_devices]
+    for mp in sorted({1, 2 if n_devices % 2 == 0 and n_devices > 1 else 1}):
+        mesh = build_mesh(MeshConfig(model_parallel=mp), devices=devices)
+        from mvlt_tpu.parallel.partition import param_shardings
+        from mvlt_tpu.train.steps import _mirror_opt_shardings
+        p_shard = param_shardings(state_shapes.params, mesh)
+        opt_shard = _mirror_opt_shardings(state_shapes.opt_state,
+                                          state_shapes.params, p_shard, mesh)
+        repl = NamedSharding(mesh, P())
+        shardings = state_shapes.replace(
+            step=repl, params=p_shard, opt_state=opt_shard,
+            extra_variables=jax.tree.map(lambda _: repl,
+                                         state_shapes.extra_variables))
+        data = NamedSharding(mesh, P("data"))
+        abstract_state = with_shardings(state_shapes, shardings)
+        abstract_batch = jax.tree.map(
+            lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=data),
+            batch_shapes)
+        abstract_rng = jax.ShapeDtypeStruct(rng_shape.shape, rng_shape.dtype,
+                                            sharding=repl)
+        step = make_pretrain_step(model, seq2seq=False, mesh=mesh,
+                                  state_shardings=shardings)
+        step.lower(abstract_state, abstract_batch, abstract_rng).compile()
+
+
+def dryrun_multichip(n_devices: int, geometry: str = "tiny") -> None:
     """Compile + execute ONE full sharded training step (fwd, bwd, AdamW)
     of the flagship pretraining model over an ``n_devices`` mesh with real
     DP x TP shardings (tiny shapes).  PP/SP/EP are N/A for this model
     family: it has no MoE and sequences are <=250 tokens (SURVEY.md §2.3).
+
+    ``geometry='flagship'`` instead AOT-compiles (no execution) the real
+    flagship-size step for both partitioning modes — see
+    :func:`lower_flagship_multichip`.
     """
+    if geometry == "flagship":
+        return lower_flagship_multichip(n_devices)
     from mvlt_tpu.parallel import build_mesh
     from mvlt_tpu.train import (create_train_state, make_optimizer,
                                 make_pretrain_step, shard_train_state)

@@ -27,7 +27,8 @@ def train_caption(runner: TaskRunner, train_ds, test_ds=None,
                              runner.shardings)
     loader = DataLoader(train_ds, tc.batch_size, shuffle=True, drop_last=True,
                         seed=tc.seed, process_index=jax.process_index(),
-                        process_count=jax.process_count())
+                        process_count=jax.process_count(),
+                        num_workers=tc.num_workers)
     rng = train_rng(tc)
     evals = []
     for epoch in range(epochs):
@@ -85,7 +86,8 @@ def eval_caption(runner: TaskRunner, test_ds, tokenizer,
 
     variables = {"params": params,
                  **runner.state.extra_variables}
-    loader = DataLoader(test_ds, batch_size, shuffle=False)
+    loader = DataLoader(test_ds, batch_size, shuffle=False,
+                        num_workers=runner.train_config.num_workers)
     gts, preds = [], []
     for batch in loader.epoch(0):
         m = len(batch["caption"])

@@ -26,7 +26,8 @@ def train_pretrain(runner: TaskRunner, train_ds,
              for mode in (False, True)}
     loader = DataLoader(train_ds, tc.batch_size, shuffle=True, drop_last=True,
                         seed=tc.seed, process_index=jax.process_index(),
-                        process_count=jax.process_count())
+                        process_count=jax.process_count(),
+                        num_workers=tc.num_workers)
     rng = train_rng(tc)
     flip_rng = train_rng(tc, offset=1)
     n_seq2seq = 0

@@ -25,7 +25,8 @@ def train_retrieval(runner: TaskRunner, train_ds,
     step = make_retrieval_step(runner.model, runner.mesh, runner.shardings)
     loader = DataLoader(train_ds, tc.batch_size, shuffle=True, drop_last=True,
                         seed=tc.seed, process_index=jax.process_index(),
-                        process_count=jax.process_count())
+                        process_count=jax.process_count(),
+                        num_workers=tc.num_workers)
     rng = train_rng(tc)
     def merged_batches(epoch):
         for batch in loader.epoch(epoch):

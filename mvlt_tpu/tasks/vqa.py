@@ -34,7 +34,8 @@ def eval_vqa(runner: TaskRunner, dataset, batch_size: int = 64,
 
     variables = {"params": runner.state.params,
                  **runner.state.extra_variables}
-    loader = DataLoader(dataset, batch_size, shuffle=False)
+    loader = DataLoader(dataset, batch_size, shuffle=False,
+                        num_workers=runner.train_config.num_workers)
     preds, labels, types = [], [], []
     for batch in loader.epoch(0):
         n = len(batch["label"])
@@ -63,7 +64,8 @@ def train_vqa(runner: TaskRunner, train_ds, valid_ds=None, test_ds=None,
     step = make_vqa_step(runner.model, runner.mesh, runner.shardings)
     loader = DataLoader(train_ds, tc.batch_size, shuffle=True, drop_last=True,
                         seed=tc.seed, process_index=jax.process_index(),
-                        process_count=jax.process_count())
+                        process_count=jax.process_count(),
+                        num_workers=tc.num_workers)
     rng = train_rng(tc)
     best = {"valid_acc": -1.0, "epoch": -1}
     for epoch in range(epochs):

@@ -32,6 +32,8 @@ def parse_args():
     p.add_argument("--itm_task", action="store_true", default=True)
     p.add_argument("--no_itm_task", dest="itm_task", action="store_false")
     p.add_argument("--model_parallel", type=int, default=1)
+    p.add_argument("--num_workers", type=int, default=8,
+                   help="host loader worker processes (0 = threaded fallback)")
     p.add_argument("--backbone_ckpt", default=None,
                    help="official backbone checkpoint (Swin .pth / "
                         "torchvision ResNet / HF state dict), loaded into "
@@ -86,6 +88,7 @@ def main():
                               mlm_task=cfg.mlm_task, itm_task=cfg.itm_task)
 
     tc = TrainConfig(batch_size=args.batch_size, epochs=args.epochs,
+                     num_workers=args.num_workers,
                      mesh=MeshConfig(model_parallel=args.model_parallel))
     runner = TaskRunner(PretrainModel(cfg), cfg, tc, workdir=args.model_name,
                         name="pretrain")

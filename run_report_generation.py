@@ -52,6 +52,8 @@ def parse_args():
     p.add_argument("--num_beams", type=int, default=5)
     p.add_argument("--max_length", type=int, default=None)
     p.add_argument("--model_parallel", type=int, default=1)
+    p.add_argument("--num_workers", type=int, default=8,
+                   help="host loader worker processes (0 = threaded fallback)")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--do_train", action="store_true", default=None)
     p.add_argument("--no_train", dest="do_train", action="store_false")
@@ -133,6 +135,7 @@ def main():
     pretrained = pretrained or None
 
     tc = TrainConfig(batch_size=args.batch_size, epochs=args.epochs,
+                     num_workers=args.num_workers,
                      mesh=MeshConfig(model_parallel=args.model_parallel))
     runner = TaskRunner(CaptionModel(cfg), cfg, tc, workdir=args.model_name,
                         name="caption")

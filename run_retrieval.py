@@ -51,6 +51,8 @@ def parse_args():
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--max_length", type=int, default=80)
     p.add_argument("--model_parallel", type=int, default=1)
+    p.add_argument("--num_workers", type=int, default=8,
+                   help="host loader worker processes (0 = threaded fallback)")
     p.add_argument("--do_train", action="store_true")
     p.add_argument("--do_test", action="store_true")
     p.add_argument("--synthetic", action="store_true")
@@ -112,6 +114,7 @@ def main():
     pretrained = pretrained or None
 
     tc = TrainConfig(batch_size=args.batch_size, epochs=args.epochs,
+                     num_workers=args.num_workers,
                      mesh=MeshConfig(model_parallel=args.model_parallel))
     runner = TaskRunner(RetrievalModel(cfg), cfg, tc, workdir=args.model_name,
                         name="retrieval")

@@ -33,6 +33,8 @@ def parse_args():
     p.add_argument("--total_round", type=int, default=1,
                    help="seeds to train (reference runs 10)")
     p.add_argument("--model_parallel", type=int, default=1)
+    p.add_argument("--num_workers", type=int, default=8,
+                   help="host loader worker processes (0 = threaded fallback)")
     p.add_argument("--synthetic", action="store_true",
                    help="smoke-run on synthetic data (no dataset needed)")
     p.add_argument("--tiny", action="store_true",
@@ -102,6 +104,7 @@ def main():
     for round_i in range(args.total_round):
         tc = TrainConfig(batch_size=args.batch_size, epochs=args.epochs,
                          seed=round_i,
+                         num_workers=args.num_workers,
                          mesh=MeshConfig(model_parallel=args.model_parallel))
         runner = TaskRunner(VQAModel(cfg), cfg, tc,
                             workdir=f"{args.model_name}/round{round_i}",

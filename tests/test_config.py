@@ -18,6 +18,11 @@ def test_task_variants_match_reference_defaults():
     cap = MVLTConfig.for_caption()
     assert cap.is_decoder and cap.max_length == 80 and cap.lr == 1e-5
 
+    # Optimizer parity by default: every reference-recipe preset stores
+    # AdamW's first moment in float32 (bf16 mu is an opt-in perf knob).
+    for cfg in (vqa, pre, ret, cap):
+        assert cfg.adam_mu_dtype == "float32"
+
 
 def test_swin_variants():
     s = swin_small()

@@ -20,6 +20,7 @@ def _cfg(**kw):
                             vocab_size=64, max_position_embeddings=64),
         swin=SwinConfig(img_size=32, patch_size=4, embed_dim=8, depths=(1, 1),
                         num_heads=(2, 4), window_size=4, drop_path_rate=0.0),
+        cls_token_id=3, sep_token_id=4, eos_token_id=5, mask_token_id=6,
         result_num=3, **kw)
 
 
