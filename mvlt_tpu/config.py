@@ -312,11 +312,12 @@ class TrainConfig:
     remat_fusion: bool = False
     grad_accum_steps: int = 1
     # Host-loader worker processes (reference torch DataLoader
-    # num_workers=8, run_pretrain.py:255).  PIL decode/resize and the
-    # numpy normalize chain hold the GIL, so real-image feeding needs
-    # processes; 0 falls back to the threaded fetch path (fine for
-    # synthetic/cheap datasets).  Measured end-to-end in PERF.md.
-    num_workers: int = 8
+    # num_workers=8, run_pretrain.py:255).  PIL decode/resize holds the
+    # GIL, so real-image feeding needs processes; -1 = auto-size to the
+    # host (min(8, cores-1), threaded fallback on <=2-core hosts where
+    # worker IPC costs more than it buys); 0 forces the threaded path.
+    # Measured end-to-end in PERF.md.
+    num_workers: int = -1
     log_every: int = 50
     checkpoint_every_epochs: int = 1
     # overlap Orbax persistence with training: save() returns after the

@@ -66,10 +66,15 @@ class ImageFolderSource:
     (ROCO / MedICaT pattern, run_pretrain_rgc_roco_medicat.py:99-129)."""
 
     def __init__(self, items: Sequence[Tuple[str, str]], image_size: int = 224,
-                 fast_decode: bool = False):
+                 fast_decode: bool = False, normalize: str = "host"):
         self.items = list(items)
         self.image_size = image_size
         self.fast_decode = fast_decode
+        # "host": float32 CHW variance-normalized on the host (bit-parity
+        # with the reference numpy chain); "device": uint8 HWC, normalized
+        # inside the jitted model (device_var_normalize) — ~1.8x cheaper
+        # per host core and 4x fewer host->HBM bytes.
+        self.normalize = normalize
 
     @staticmethod
     def from_roco(root: str, split: str = "train") -> "ImageFolderSource":
@@ -118,8 +123,12 @@ class ImageFolderSource:
 
     def __getitem__(self, index: int):
         path, caption = self.items[index]
-        im = T.load_image_var_normalized(path, self.image_size,
-                                         fast=self.fast_decode)
+        if self.normalize == "device":
+            im = T.load_image_u8(path, self.image_size,
+                                 fast=self.fast_decode)
+        else:
+            im = T.load_image_var_normalized(path, self.image_size,
+                                             fast=self.fast_decode)
         return im, caption, index, (path, caption[:64])
 
 
@@ -155,10 +164,12 @@ class AnnotationSource:
     negatives always swap the image)."""
 
     def __init__(self, image_dir: str, ann_path: str, split: str = "train",
-                 two_view: bool = True, image_size: int = 224):
+                 two_view: bool = True, image_size: int = 224,
+                 normalize: str = "host"):
         self.image_dir = image_dir
         self.two_view = two_view
         self.image_size = image_size
+        self.normalize = normalize
         with open(ann_path) as f:
             self.examples = json.load(f)[split]
 
@@ -168,8 +179,12 @@ class AnnotationSource:
     def __getitem__(self, index: int):
         e = self.examples[index]
         paths = e["image_path"]
-        load = lambda p: T.load_image_var_normalized(
-            os.path.join(self.image_dir, p), self.image_size)
+        if self.normalize == "device":
+            load = lambda p: T.load_image_u8(
+                os.path.join(self.image_dir, p), self.image_size)
+        else:
+            load = lambda p: T.load_image_var_normalized(
+                os.path.join(self.image_dir, p), self.image_size)
         if self.two_view:
             im = np.stack([load(paths[0]), load(paths[1])], 0)
         else:
@@ -363,10 +378,11 @@ class CXRAnnotationDataset(CaptionDataset):
     def __init__(self, image_dir: str, ann_path: str, tokenizer,
                  split: str = "train", two_view: bool = True,
                  max_length: int = 80, pretrained: bool = True, seed: int = 0,
-                 learning_strategy: str = "unilm"):
+                 learning_strategy: str = "unilm", normalize: str = "host"):
         self.image_dir = image_dir
         self.two_view = two_view
         self.pretrained = pretrained
+        self.normalize = normalize
         clean = T.clean_report_iu_xray if two_view else T.clean_report_mimic_cxr
         with open(ann_path) as f:
             ann = json.load(f)
@@ -383,6 +399,8 @@ class CXRAnnotationDataset(CaptionDataset):
         from PIL import Image
         path = os.path.join(self.image_dir, rel_path)
         if self.pretrained:
+            if self.normalize == "device":
+                return T.load_image_u8(path)
             return T.load_image_var_normalized(path)
         im = Image.open(path).convert("RGB")
         if self.split == "train":

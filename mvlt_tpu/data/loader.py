@@ -2,11 +2,13 @@
 ``run_pretrain.py:255`` num_workers=8).
 
 - worker *processes* for sample fetch + collate (``num_workers > 0``;
-  the constructor default is 0, but every task loop passes
-  ``TrainConfig.num_workers`` which defaults to 8) — PIL convert/resize
+  the constructor default is 0, every task loop passes
+  ``TrainConfig.num_workers`` whose default -1 auto-sizes to
+  ``min(8, cores-1)``, threaded on <=2-core hosts) — PIL convert/resize
   and the numpy normalize chain hold the GIL, so a thread pool scales
-  NEGATIVELY (measured: 1 thread 127 images/s, 8 threads 51); the
-  reference's torch DataLoader uses processes for the same reason.
+  NEGATIVELY on multi-core hosts (measured: 1 thread 127 images/s, 8
+  threads 51); the reference's torch DataLoader uses processes for the
+  same reason.
   Workers inherit the dataset via fork (one-time cost), each builds a
   whole collated batch so IPC is one pickled dict per batch,
 - threaded fetch fallback (``num_workers=0``) for cheap/synthetic
@@ -77,6 +79,14 @@ class DataLoader:
         self.prefetch = prefetch
         self.process_index = process_index
         self.process_count = process_count
+        if num_workers < 0:
+            # auto: leave one core for the device-dispatch loop; on boxes
+            # with <=2 cores worker processes are pure IPC overhead
+            # (measured on a 1-core host: 8 procs 45 images/s vs
+            # single-thread 62) so fall back to the threaded path
+            import os
+            cpus = os.cpu_count() or 1
+            num_workers = 0 if cpus <= 2 else min(8, cpus - 1)
         if num_workers > 0:
             try:
                 multiprocessing.get_context("fork")

@@ -23,6 +23,22 @@ from mvlt_tpu.config import MVLTConfig
 from mvlt_tpu.ops.layers import gelu_exact, normal_init
 
 
+def device_var_normalize(img_u8: jnp.ndarray) -> jnp.ndarray:
+    """Device-side equivalent of the reference's host preprocessing
+    (``run_pretrain_rgc_roco_medicat.py:104-110``): uint8 (..., H, W, 3)
+    -> float32 (..., 3, H, W), per-image per-channel ``(x - mean) / var``
+    (the reference's variance-not-std quirk, same f32 math as
+    :func:`mvlt_tpu.data.transforms.normalize_image_var` — only the
+    reduction runs on the TPU instead of the host CPU).  Moving this off
+    the host roughly doubles a loader core's throughput and cuts
+    host->HBM bytes 4x."""
+    x = img_u8.astype(jnp.float32)
+    mean = jnp.mean(x, axis=(-3, -2), keepdims=True)
+    var = jnp.var(x, axis=(-3, -2), keepdims=True)
+    x = (x - mean) / var
+    return jnp.moveaxis(x, -1, -3)
+
+
 class VisualAdapter(nn.Module):
     config: MVLTConfig
     dtype: jnp.dtype = jnp.float32
@@ -67,7 +83,14 @@ class VisualAdapter(nn.Module):
         return tokens
 
     def __call__(self, image, deterministic: bool = True):
-        """image: (B, C, H, W) or two-view (B, 2, C, H, W) -> (B, N, hidden)."""
+        """image: (B, C, H, W) or two-view (B, 2, C, H, W) -> (B, N, hidden).
+
+        uint8 inputs are RAW (..., H, W, 3) frames from the
+        device-normalize host path; the float cast + variance
+        normalization + CHW layout happen here, inside the jitted model
+        (:func:`device_var_normalize`)."""
+        if image.dtype == jnp.uint8:
+            image = device_var_normalize(image)
         if image.ndim == 5:
             t1 = self._encode_one(image[:, 0], deterministic)
             t2 = self._encode_one(image[:, 1], deterministic)

@@ -32,8 +32,12 @@ def parse_args():
     p.add_argument("--itm_task", action="store_true", default=True)
     p.add_argument("--no_itm_task", dest="itm_task", action="store_false")
     p.add_argument("--model_parallel", type=int, default=1)
-    p.add_argument("--num_workers", type=int, default=8,
-                   help="host loader worker processes (0 = threaded fallback)")
+    p.add_argument("--num_workers", type=int, default=-1,
+                   help="host loader worker processes (-1 auto, 0 threaded)")
+    p.add_argument("--host_normalize", action="store_true",
+                   help="normalize images on the host (float32) instead of on-device")
+    p.add_argument("--jpeg_draft", action="store_true",
+                   help="libjpeg draft-mode decode (~1.5x faster, slightly different pixels)")
     p.add_argument("--backbone_ckpt", default=None,
                    help="official backbone checkpoint (Swin .pth / "
                         "torchvision ResNet / HF state dict), loaded into "
@@ -57,6 +61,10 @@ def build_source(args):
         sources.append(ImageFolderSource.from_roco(args.roco_root))
     if args.medicat_root:
         sources.append(ImageFolderSource.from_medicat(args.medicat_root))
+    for src in sources:
+        if isinstance(src, ImageFolderSource):
+            src.normalize = "host" if args.host_normalize else "device"
+            src.fast_decode = args.jpeg_draft
     if not sources:
         raise SystemExit("no data source given (use --rgc_index/--roco_root/"
                          "--medicat_root or --synthetic)")

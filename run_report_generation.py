@@ -52,8 +52,10 @@ def parse_args():
     p.add_argument("--num_beams", type=int, default=5)
     p.add_argument("--max_length", type=int, default=None)
     p.add_argument("--model_parallel", type=int, default=1)
-    p.add_argument("--num_workers", type=int, default=8,
-                   help="host loader worker processes (0 = threaded fallback)")
+    p.add_argument("--num_workers", type=int, default=-1,
+                   help="host loader worker processes (-1 auto, 0 threaded)")
+    p.add_argument("--host_normalize", action="store_true",
+                   help="normalize images on the host (float32) instead of on-device")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--do_train", action="store_true", default=None)
     p.add_argument("--no_train", dest="do_train", action="store_false")
@@ -95,7 +97,8 @@ def build_datasets(args, tokenizer, max_length):
         os.path.join(root, "images"), os.path.join(root, "annotation.json"),
         tokenizer, split, two_view=two_view, max_length=max_length,
         pretrained=args.pretrained is not None,
-        learning_strategy=args.learning_strategy)
+        learning_strategy=args.learning_strategy,
+        normalize="host" if args.host_normalize else "device")
     return mk("train"), mk("test")
 
 

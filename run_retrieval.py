@@ -51,8 +51,10 @@ def parse_args():
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--max_length", type=int, default=80)
     p.add_argument("--model_parallel", type=int, default=1)
-    p.add_argument("--num_workers", type=int, default=8,
-                   help="host loader worker processes (0 = threaded fallback)")
+    p.add_argument("--num_workers", type=int, default=-1,
+                   help="host loader worker processes (-1 auto, 0 threaded)")
+    p.add_argument("--host_normalize", action="store_true",
+                   help="normalize images on the host (float32) instead of on-device")
     p.add_argument("--do_train", action="store_true")
     p.add_argument("--do_test", action="store_true")
     p.add_argument("--synthetic", action="store_true")
@@ -93,7 +95,8 @@ def main():
         args.swap = "image"  # run_retrieval_iuxray.py:130-137
         mk = lambda split: AnnotationSource(
             _os.path.join(args.iu_xray_root, "images"),
-            _os.path.join(args.iu_xray_root, "annotation.json"), split)
+            _os.path.join(args.iu_xray_root, "annotation.json"), split,
+            normalize="host" if args.host_normalize else "device")
         src_train, src_test = mk("train"), mk("test")
     else:
         if not args.rgc_index:

@@ -33,8 +33,8 @@ def parse_args():
     p.add_argument("--total_round", type=int, default=1,
                    help="seeds to train (reference runs 10)")
     p.add_argument("--model_parallel", type=int, default=1)
-    p.add_argument("--num_workers", type=int, default=8,
-                   help="host loader worker processes (0 = threaded fallback)")
+    p.add_argument("--num_workers", type=int, default=-1,
+                   help="host loader worker processes (-1 auto, 0 threaded)")
     p.add_argument("--synthetic", action="store_true",
                    help="smoke-run on synthetic data (no dataset needed)")
     p.add_argument("--tiny", action="store_true",

@@ -53,6 +53,10 @@ def main():
     ap.add_argument("--workers", type=int, default=None,
                     help="override TrainConfig.num_workers (default: use "
                          "the production default)")
+    ap.add_argument("--host_normalize", action="store_true",
+                    help="use the host float32 normalize chain instead of "
+                         "the production device-normalize path")
+    ap.add_argument("--jpeg_draft", action="store_true")
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--epochs", type=int, default=3)
     args = ap.parse_args()
@@ -71,7 +75,9 @@ def main():
         "/root/reference/dataset/bert-base-uncased/vocab.txt")
     tmp = tempfile.TemporaryDirectory()
     items = make_jpegs(tmp.name)
-    src = ImageFolderSource(items, image_size=224)
+    src = ImageFolderSource(
+        items, image_size=224, fast_decode=args.jpeg_draft,
+        normalize="host" if args.host_normalize else "device")
     ds = PretrainDataset(src, tok, max_length=80)
     loader = DataLoader(ds, args.batch, shuffle=True, drop_last=True,
                         num_workers=workers)

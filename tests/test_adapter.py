@@ -67,3 +67,37 @@ def test_adapter_projects_2048_channels():
     x = jnp.zeros((1, 3, 32, 32), jnp.float32)
     variables = adapter.init(jax.random.PRNGKey(0), x)
     assert "resnet_fc" in variables["params"]
+
+
+def test_uint8_device_normalize_matches_host_chain():
+    """The device-normalize path (uint8 HWC in, float/transpose/var-norm
+    inside the model) must match the host numpy chain
+    (``transforms.normalize_image_var``) through the full adapter."""
+    from mvlt_tpu.data.transforms import normalize_image_var
+    from mvlt_tpu.models.backbones.adapter import device_var_normalize
+
+    rng = np.random.default_rng(3)
+    u8 = rng.integers(0, 256, size=(2, 32, 32, 3), dtype=np.uint8)
+    host = np.stack([normalize_image_var(
+        im.astype(np.float32).transpose(2, 0, 1)) for im in u8])
+    dev = np.asarray(device_var_normalize(jnp.asarray(u8)))
+    np.testing.assert_allclose(dev, host, rtol=1e-4, atol=1e-6)
+
+    # through the adapter: uint8 input == pre-normalized f32 input
+    cfg = tiny_cfg("swin")
+    adapter = VisualAdapter(cfg)
+    variables = adapter.init(jax.random.PRNGKey(0), jnp.asarray(host))
+    out_f32 = adapter.apply(variables, jnp.asarray(host))
+    out_u8 = adapter.apply(variables, jnp.asarray(u8))
+    np.testing.assert_allclose(np.asarray(out_u8), np.asarray(out_f32),
+                               rtol=1e-4, atol=1e-5)
+
+    # two-view uint8 (B, 2, H, W, 3)
+    u8_2v = rng.integers(0, 256, size=(2, 2, 32, 32, 3), dtype=np.uint8)
+    host_2v = np.stack([np.stack([normalize_image_var(
+        im.astype(np.float32).transpose(2, 0, 1)) for im in views])
+        for views in u8_2v])
+    out2_f32 = adapter.apply(variables, jnp.asarray(host_2v))
+    out2_u8 = adapter.apply(variables, jnp.asarray(u8_2v))
+    np.testing.assert_allclose(np.asarray(out2_u8), np.asarray(out2_f32),
+                               rtol=1e-4, atol=1e-5)
