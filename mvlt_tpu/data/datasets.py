@@ -42,6 +42,7 @@ class PickleSource:
         with open(index_path, "rb") as f:
             self.idx2path = pickle.load(f)
         self._cache: Optional[list] = None
+        self._peek_cache: dict = {}
 
     def __len__(self):
         return len(self.idx2path)
@@ -59,6 +60,18 @@ class PickleSource:
         if self._cache is not None:
             return self._cache[index]
         return self._load(index)
+
+    def peek(self, index: int):
+        """(caption, cap_id) — per-index caption cache so repeated
+        negative-sampling probes don't re-unpickle the image payload."""
+        if self._cache is not None:
+            _, caption, _, cap_id = self._cache[index]
+            return caption, cap_id
+        hit = self._peek_cache.get(index)
+        if hit is None:
+            _, caption, _, cap_id = self._load(index)
+            hit = self._peek_cache[index] = (caption, cap_id)
+        return hit
 
 
 class ImageFolderSource:
@@ -131,6 +144,12 @@ class ImageFolderSource:
                                              fast=self.fast_decode)
         return im, caption, index, (path, caption[:64])
 
+    def peek(self, index: int):
+        """(caption, cap_id) WITHOUT decoding the image — negative
+        sampling probes captions only (see ``PretrainDataset``)."""
+        path, caption = self.items[index]
+        return caption, (path, caption[:64])
+
 
 class SyntheticSource:
     """Deterministic fake source for tests/benchmarks (no reference
@@ -155,6 +174,9 @@ class SyntheticSource:
         im = rng.normal(size=(3, self.image_size, self.image_size)
                         ).astype(np.float32)
         return im, self.captions[index], index, index
+
+    def peek(self, index: int):
+        return self.captions[index], index
 
 
 class AnnotationSource:
@@ -191,6 +213,10 @@ class AnnotationSource:
             im = load(paths[0])
         return im, e["report"], e["id"], e["id"]
 
+    def peek(self, index: int):
+        e = self.examples[index]
+        return e["report"], e["id"]
+
 
 class ConcatSource:
     """Index-range dispatch over multiple sources
@@ -207,6 +233,22 @@ class ConcatSource:
         i = int(np.searchsorted(self.offsets, index, side="right")) - 1
         im, cap, _, cap_id = self.sources[i][index - int(self.offsets[i])]
         return im, cap, index, (i, cap_id)
+
+    def peek(self, index: int):
+        i = int(np.searchsorted(self.offsets, index, side="right")) - 1
+        cap, cap_id = _peek(self.sources[i], index - int(self.offsets[i]))
+        return cap, (i, cap_id)
+
+
+def _peek(source, index: int):
+    """(caption, cap_id) as cheaply as the source allows: ``peek`` skips
+    the image decode entirely where available; otherwise fall back to a
+    full fetch."""
+    fn = getattr(source, "peek", None)
+    if fn is not None:
+        return fn(index)
+    _, cap, _, cap_id = source[index]
+    return cap, cap_id
 
 
 # ---------------------------------------------------------------------------
@@ -238,9 +280,17 @@ class PretrainDataset:
 
     def __getitem__(self, index: int, epoch: int = 0) -> Dict[str, np.ndarray]:
         rng = T.sample_rng(self.seed, epoch, index)
-        im_np, caption, img_id, cap_id = self.source[index]
+        caption, cap_id = _peek(self.source, index)
 
+        # Decide the ITM branch BEFORE decoding anything: the rejection
+        # loop probes candidate captions via peek() (no image decode) and
+        # exactly ONE image is decoded per sample — positive, or the
+        # negative when the image side is swapped.  (The naive order
+        # costs 1.5 decodes/sample expected; on a host-bound input
+        # pipeline that is a 1.5x throughput tax.)  The rng draw order is
+        # unchanged, so sample streams are identical.
         itm_label = 1
+        image_index = index
         if self.itm_task and rng.random() >= 0.5:
             itm_label = 0
             # bounded rejection sampling (the reference's while True,
@@ -248,7 +298,7 @@ class PretrainDataset:
             # negative exists must error, not hang the loader thread
             for _try in range(1000):
                 rand_index = int(rng.integers(0, len(self)))
-                r_im, r_cap, r_img_id, r_cap_id = self.source[rand_index]
+                r_cap, r_cap_id = _peek(self.source, rand_index)
                 if rand_index != index and cap_id != r_cap_id:
                     break
             else:
@@ -257,9 +307,10 @@ class PretrainDataset:
                     "different cap_id in 1000 draws — the source is too "
                     "small or degenerate for itm_task=True")
             if rng.random() < 0.5:
-                im_np = r_im
+                image_index = rand_index
             else:
                 caption = r_cap
+        im_np = self.source[image_index][0]
 
         tokens = self.tokenizer.tokenize(caption + " " + self.tokenizer.eos_token)
         if self.mlm_task and itm_label == 1:
@@ -450,18 +501,20 @@ class RetrievalDataset:
     def __getitem__(self, index: int, epoch: int = 0) -> Dict:
         if self.split == "train":
             rng = T.sample_rng(self.seed, epoch, index)
-            im_gt, cap_gt, _, cap_id = self.source[index]
+            cap_gt, cap_id = _peek(self.source, index)
             for _try in range(1000):
                 rand_index = int(rng.integers(0, self.img_num))
-                r_im, r_cap, _, r_cap_id = self.source[rand_index]
+                r_cap, r_cap_id = _peek(self.source, rand_index)
                 if rand_index != index and cap_id != r_cap_id:
                     break
             else:
                 raise ValueError(
                     "retrieval negative sampling found no sample with a "
                     "different cap_id in 1000 draws — source too small")
+            im_gt = self.source[index][0]
             if self.swap == "image" or rng.random() < 0.5:
-                im_neg, cap_neg = r_im, cap_gt
+                # negative image decode only when the image side swaps
+                im_neg, cap_neg = self.source[rand_index][0], cap_gt
             else:
                 im_neg, cap_neg = im_gt, r_cap
             return {"pos": {"image": im_gt, "caption": self._cap_ids(cap_gt),
@@ -470,7 +523,7 @@ class RetrievalDataset:
                             "label": np.int32(0)}}
         img_idx, cap_idx = divmod(index, self.img_num)
         im1, _, _, cap_id1 = self.source[img_idx]
-        _, cap2, _, cap_id2 = self.source[cap_idx]
+        cap2, cap_id2 = _peek(self.source, cap_idx)
         label = 1 if img_idx == cap_idx or cap_id1 == cap_id2 else 0
         return {"image": im1, "caption": self._cap_ids(cap2),
                 "label": np.int32(label)}
