@@ -1129,14 +1129,14 @@ def _full_forward(x, params, bias, *, scale, num_heads, group, interpret,
     return out.reshape(orig_shape) if merged else out
 
 
-_VMEM_CAP = 8 * 1024 * 1024
+_VMEM_CAP = int(os.environ.get("MVLT_VMEM_CAP", 8 * 1024 * 1024))
 
 
 def _full_forward_inner(x, params, bias, *, scale, num_heads, group,
                         interpret, dp=None, save_res=False):
     BW, N, C = x.shape
     nWb = bias.shape[0]
-    G = group
+    G = int(os.environ.get("MVLT_GROUP", group))
     # VMEM budget: the dominant in-kernel value is the (G*N, 4C) f32 MLP
     # intermediate; cap it (plus qkv + x blocks, and the qkv/ctx output
     # blocks of the store-residual mode) around ~8MB

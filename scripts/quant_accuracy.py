@@ -36,9 +36,53 @@ def shape_random_init(model, *args):
         if len(s.shape) >= 2 else jnp.ones(s.shape, s.dtype), shapes)
 
 
+TRAIN = int(os.environ.get("TRAIN", "0"))
+
+
+def train_steps(model, variables, loss_args, loss_kwargs, steps,
+                lr=3e-4):
+    """Fit the model to ONE fixed synthetic batch for ``steps`` chained
+    AdamW steps (memorization drives real logit margins — the regime
+    the int8 delta matters in).  Returns trained variables."""
+    import optax
+    tx = optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-6, weight_decay=1e-4)
+    params = variables["params"]
+    opt = tx.init(params)
+    key = jax.random.key(0, impl="rbg")
+
+    def loss_fn(p, rng):
+        out = model.apply(dict(variables, params=p), *loss_args,
+                          method=model.loss, deterministic=False,
+                          rngs={"dropout": rng}, **loss_kwargs)
+        return (out[0] if isinstance(out, tuple) else out).astype(
+            jnp.float32)
+
+    def chained(params, opt):
+        def body(c, i):
+            p, o = c
+            l, g = jax.value_and_grad(loss_fn)(
+                p, jax.random.fold_in(key, i))
+            up, o2 = tx.update(g, o, p)
+            return (optax.apply_updates(p, up), o2), l
+        (p, o), losses = jax.lax.scan(body, (params, opt),
+                                      jnp.arange(steps))
+        return p, losses
+
+    p, losses = jax.jit(chained)(params, opt)
+    lo = np.asarray(jax.device_get(losses))
+    print(f"  trained {steps} steps: loss {lo[0]:.3f} -> {lo[-1]:.3f}",
+          flush=True)
+    return dict(variables, params=p)
+
+
 cfg = flagship_vqa_config()
 vqa = VQAModel(cfg, dtype=jnp.bfloat16)
 variables = shape_random_init(vqa, img, txt)
+if TRAIN:
+    vqa_label = jnp.asarray(rng.integers(0, cfg.result_num, (B,)),
+                            jnp.int32)
+    variables = train_steps(vqa, variables, (img, txt, vqa_label), {},
+                            TRAIN)
 qparams, n_q = quantize_tree_jit(variables["params"])
 qb, ob = quantized_bytes(qparams)
 print(f"quantized {n_q} tensors; resident bytes {qb/1e6:.0f}MB vs "
@@ -69,6 +113,11 @@ print(f"VQA logits: cos {cos:.6f}  max|dlogit| {derr:.4f}  "
 ccfg = dataclasses.replace(cfg, is_decoder=True, max_length=16)
 cap = CaptionModel(ccfg, dtype=jnp.bfloat16)
 cvars = shape_random_init(cap, img, txt)
+if TRAIN:
+    # 'normal' strategy: every position is supervised with its own token
+    # (MIMIC-style labels, run_report_generation_cxr.py:229-230)
+    cvars = train_steps(cap, cvars, (img, txt, txt),
+                        {"learning_strategy": "normal"}, TRAIN)
 spec = GenerationSpec.from_config(ccfg, num_beams=3)
 base_seq = np.asarray(jax.jit(lambda v, i: generate(cap, v, i, spec)[0])(
     cvars, img))
