@@ -350,7 +350,10 @@ def main() -> None:
     on_accel = platform not in ("cpu",)
     batch = args.batch or (128 if on_accel else 8)  # b128 > b64 post-kernels
     dtype = jnp.bfloat16 if on_accel else jnp.float32
-    iters = args.iters or (20 if on_accel else 5)
+    # 60 chained iters: the tunnel's ~24 ms per-EXECUTION floor rides on
+    # the single chained program, so floor/iters drops to ~1% of a b128
+    # forward (PERF.md round 4 metrology note)
+    iters = args.iters or (60 if on_accel else 5)
 
     val = measure(batch, dtype, iters=iters)
     baseline = float(os.environ.get("MVLT_BENCH_CPU_BASELINE",
@@ -386,7 +389,7 @@ def main() -> None:
         _try("kernel_parity_ok", lambda: bool(kernel_parity_smoke()))
         _try("kernel_bwd_parity_ok", lambda: bool(kernel_bwd_parity_smoke()))
         _try("pretrain_train_samples_per_sec",
-             lambda: measure_pretrain_step(32, 10))
+             lambda: measure_pretrain_step(32, 20))
         if isinstance(out.get("pretrain_train_samples_per_sec"), float):
             # 3x-forward-FLOPs convention (fwd + ~2x fwd for backward);
             # optimizer/overheads included in the measured time, so this
