@@ -490,7 +490,8 @@ def _ln(xf, scale, bias, eps=1e-5, fast: bool = False):
     return (xf - mu) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
-def _attend(q, k, v, bias, fast: bool, scale: float = 1.0):
+def _attend(q, k, v, bias, fast: bool, scale: float = 1.0,
+            want_p: bool = False):
     """One head's window attention core: scores -> softmax -> PV, f32.
 
     ``q``/``k`` arrive UNSCALED in the caller's compute dtype; ``scale``
@@ -530,17 +531,23 @@ def _attend(q, k, v, bias, fast: bool, scale: float = 1.0):
         ctx = jax.lax.dot_general(p.astype(v.dtype), v,
                                   (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
-        return ctx * pl.reciprocal(jnp.maximum(rowsum, 1e-30), approx=True)
+        recip = pl.reciprocal(jnp.maximum(rowsum, 1e-30), approx=True)
+        if want_p:
+            # normalized softmax as a SIDE product (ctx math unchanged)
+            # for the stored-p backward
+            return ctx * recip, p * recip
+        return ctx * recip
     s = s - jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s)
     p = p / jnp.sum(p, axis=-1, keepdims=True)
-    return jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+    ctx = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    return (ctx, p) if want_p else ctx
 
 
 def _full_body(X, dt, refs, bias_ref, ctx_ref, *, scale, num_heads,
                window_n, fast, mask_ref=None, mlp_chunks: int = 1,
-               dp1_ref=None, dp2_ref=None, qkv_ref=None):
+               dp1_ref=None, dp2_ref=None, qkv_ref=None, p_ref=None):
     """Shared whole-block math on a 2-D (R, C) f32 value ``X``; the big
     matmuls (qkv / proj / MLP) run with M = R rows — near-full MXU row
     utilization — and the attention core slices per-group rows out of the
@@ -585,7 +592,13 @@ def _full_body(X, dt, refs, bias_ref, ctx_ref, *, scale, num_heads,
                 hb = bias_ref[0, hh] + gmask
             else:
                 hb = bias_ref[g % Gb, hh]
-            ctx = _attend(q, k, v, hb, fast, scale)
+            if p_ref is not None:
+                # store the normalized softmax for the stored-p backward
+                # (attention_core_bwd_flat p2 path); ctx math unchanged
+                ctx, pnorm = _attend(q, k, v, hb, fast, scale, want_p=True)
+                p_ref[g * num_heads + hh] = pnorm.astype(p_ref.dtype)
+            else:
+                ctx = _attend(q, k, v, hb, fast, scale)
             ctx_ref[g * N:(g + 1) * N, hh * Dh:(hh + 1) * Dh] = \
                 ctx.astype(ctx_ref.dtype)
 
@@ -732,6 +745,39 @@ def _full_kernel_dp_save(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
     out = _full_body(X, x_ref.dtype, refs, bias_ref, ctx_ref, scale=scale,
                      num_heads=num_heads, window_n=window_n, fast=fast,
                      dp1_ref=dp1_ref, dp2_ref=dp2_ref, qkv_ref=qkv_ref)
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+def _full_kernel_save_p(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
+                        wproj_ref, bproj_ref, ln2s_ref, ln2b_ref, w1_ref,
+                        b1_ref, w2_ref, b2_ref, bias_ref, o_ref, qkv_ref,
+                        ctx_ref, p_ref, *, scale: float, num_heads: int,
+                        window_n: int, fast: bool = False):
+    """:func:`_full_kernel_save` that also emits the normalized softmax
+    per (window, head) — enables the stored-p attention-core backward
+    (wins at stage-3 geometry, num_heads >= 12)."""
+    refs = (ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+            ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref)
+    X = x_ref[:].astype(jnp.float32)
+    out = _full_body(X, x_ref.dtype, refs, bias_ref, ctx_ref, scale=scale,
+                     num_heads=num_heads, window_n=window_n, fast=fast,
+                     qkv_ref=qkv_ref, p_ref=p_ref)
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+def _full_kernel_dp_save_p(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
+                           wproj_ref, bproj_ref, ln2s_ref, ln2b_ref, w1_ref,
+                           b1_ref, w2_ref, b2_ref, bias_ref, dp1_ref,
+                           dp2_ref, o_ref, qkv_ref, ctx_ref, p_ref, *,
+                           scale: float, num_heads: int, window_n: int,
+                           fast: bool = False):
+    refs = (ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+            ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref)
+    X = x_ref[:].astype(jnp.float32)
+    out = _full_body(X, x_ref.dtype, refs, bias_ref, ctx_ref, scale=scale,
+                     num_heads=num_heads, window_n=window_n, fast=fast,
+                     dp1_ref=dp1_ref, dp2_ref=dp2_ref, qkv_ref=qkv_ref,
+                     p_ref=p_ref)
     o_ref[:] = out.astype(o_ref.dtype)
 
 
@@ -1119,13 +1165,14 @@ def _full_forward(x, params, bias, *, scale, num_heads, group, interpret,
                               interpret=interpret, dp=dp,
                               save_res=save_res)
     if save_res:
-        out, qkv, ctx = out
+        out, qkv, ctx, p = out
         if merged:
             out = out.reshape(orig_shape)
         # qkv/ctx stay FLAT (BW*N, ·): the stored backward consumes flat
         # rows (attention_core_bwd_flat) and a (BW, N, ·) tiled array at
-        # N % 8 != 0 would force a real relayout copy both ways
-        return out, qkv, ctx
+        # N % 8 != 0 would force a real relayout copy both ways; p (when
+        # stored) is already per-MERGED-window-head (BWm*nH, N, N)
+        return out, qkv, ctx, p
     return out.reshape(orig_shape) if merged else out
 
 
@@ -1137,11 +1184,17 @@ def _full_forward_inner(x, params, bias, *, scale, num_heads, group,
     BW, N, C = x.shape
     nWb = bias.shape[0]
     G = int(os.environ.get("MVLT_GROUP", group))
+    # stored-p backward pays off only where the per-unit recompute is the
+    # core-bwd bottleneck (measured: stage-3 geometry, >=12 heads; the
+    # (BW*nH, N, N) p traffic loses at stages 1-2) — probe_core_p.py
+    store_p = (save_res and num_heads >= 12 and N <= 128
+               and not os.environ.get("MVLT_NO_STOREP"))
     # VMEM budget: the dominant in-kernel value is the (G*N, 4C) f32 MLP
-    # intermediate; cap it (plus qkv + x blocks, and the qkv/ctx output
-    # blocks of the store-residual mode) around ~8MB
+    # intermediate; cap it (plus qkv + x blocks, and the qkv/ctx [+ p]
+    # output blocks of the store-residual mode) around ~8MB
+    p_row = num_heads * N * x.dtype.itemsize if store_p else 0
     row_bytes = (4 + 3 + 4) * 4 + (8 if save_res else 0)
-    while G > 1 and G * N * C * row_bytes > _VMEM_CAP:
+    while G > 1 and G * N * (C * row_bytes + p_row) > _VMEM_CAP:
         G //= 2
     while G > 1 and (BW % G != 0 or (nWb > 1 and nWb % G != 0)
                      or (G * N) % 8 != 0):
@@ -1153,7 +1206,7 @@ def _full_forward_inner(x, params, bias, *, scale, num_heads, group,
             # the core; the fused fallbacks below don't thread dp)
             out = _full_ref_fastcore(x, params, bias, dp, scale,
                                      num_heads, interpret)
-            return (out, None, None) if save_res else out
+            return (out, None, None, None) if save_res else out
         # No 8-aligned G exists (e.g. shifted stage-3: nWb=4, N=49 odd).
         # Pad windows to the next multiple of 8 rows so the 2-D big-dot
         # path still applies: padded KEYS are masked with a large negative
@@ -1170,11 +1223,11 @@ def _full_forward_inner(x, params, bias, *, scale, num_heads, group,
                                 num_heads=num_heads, group=group,
                                 interpret=interpret)
             out = out[:, :N]
-            return (out, None, None) if save_res else out
+            return (out, None, None, None) if save_res else out
         out = _full_forward_windows(x, params, bias, scale=scale,
                                     num_heads=num_heads, group=group,
                                     interpret=interpret)
-        return (out, None, None) if save_res else out
+        return (out, None, None, None) if save_res else out
 
     x2 = x.reshape(BW * N, C)      # XLA-side reshape (contiguous, free-ish)
 
@@ -1207,12 +1260,23 @@ def _full_forward_inner(x, params, bias, *, scale, num_heads, group,
         out_shape = (jax.ShapeDtypeStruct(x2.shape, x.dtype),
                      jax.ShapeDtypeStruct((BW * N, 3 * C), x.dtype),
                      jax.ShapeDtypeStruct(x2.shape, x.dtype))
+        if store_p:
+            if nargs == 2:
+                p_map = lambda i_w, i_b: (i_b * (nWb // G) + i_w, 0, 0)
+            else:
+                p_map = lambda i: (i, 0, 0)
+            out_specs = out_specs + (pl.BlockSpec(
+                (G * num_heads, N, N), p_map, memory_space=pltpu.VMEM),)
+            out_shape = out_shape + (jax.ShapeDtypeStruct(
+                (BW * num_heads, N, N), x.dtype),)
+        kern_dp = _full_kernel_dp_save_p if store_p else _full_kernel_dp_save
+        kern = _full_kernel_save_p if store_p else _full_kernel_save
         if dp is not None:
             dp_spec = pl.BlockSpec((G * N, 1), x_map,
                                    memory_space=pltpu.VMEM)
-            out, qkv, ctx = pl.pallas_call(
+            res = pl.pallas_call(
                 functools.partial(
-                    _full_kernel_dp_save, scale=scale,
+                    kern_dp, scale=scale,
                     num_heads=num_heads, window_n=N, fast=fast),
                 grid=grid,
                 in_specs=[x_spec] + [const_spec(p.shape) for p in params]
@@ -1221,9 +1285,9 @@ def _full_forward_inner(x, params, bias, *, scale, num_heads, group,
                 interpret=interpret,
             )(x2, *params, bias, dp[0], dp[1])
         else:
-            out, qkv, ctx = pl.pallas_call(
+            res = pl.pallas_call(
                 functools.partial(
-                    _full_kernel_save, scale=scale, num_heads=num_heads,
+                    kern, scale=scale, num_heads=num_heads,
                     window_n=N, fast=fast),
                 grid=grid,
                 in_specs=[x_spec] + [const_spec(p.shape) for p in params]
@@ -1231,7 +1295,9 @@ def _full_forward_inner(x, params, bias, *, scale, num_heads, group,
                 out_specs=out_specs, out_shape=out_shape,
                 interpret=interpret,
             )(x2, *params, bias)
-        return out.reshape(BW, N, C), qkv, ctx
+        out, qkv, ctx = res[:3]
+        p_out = res[3] if store_p else None
+        return out.reshape(BW, N, C), qkv, ctx, p_out
     if dp is not None:
         dp_spec = pl.BlockSpec((G * N, 1), x_map, memory_space=pltpu.VMEM)
         out = pl.pallas_call(
@@ -1340,10 +1406,10 @@ def _full_fwd(x, params, bias, scale, num_heads, group, interpret,
         # store-residual mode: the kernel additionally emits QKV/ctx so
         # the backward skips the whole-forward recompute (qkv is None on
         # fallback paths that don't support saving)
-        out, qkv, ctx = _full_forward(x, tuple(params), bias, scale=scale,
-                                      num_heads=num_heads, group=group,
-                                      interpret=interpret, dp=dp,
-                                      save_res=True)
+        out, qkv, ctx, p = _full_forward(x, tuple(params), bias,
+                                         scale=scale, num_heads=num_heads,
+                                         group=group, interpret=interpret,
+                                         dp=dp, save_res=True)
     else:
         # the save-residual shift variant carries the qkv output block on
         # top of the inference footprint — re-check feasibility with the
@@ -1359,19 +1425,20 @@ def _full_fwd(x, params, bias, scale, num_heads, group, interpret,
                 x, tuple(params), bias, scale=scale, num_heads=num_heads,
                 interpret=interpret, shift_spec=shift_spec, dp=dp,
                 save_res=True)
+            p = None
         else:
             out = _full_forward_shift(
                 x, tuple(params), bias, scale=scale, num_heads=num_heads,
                 interpret=interpret, shift_spec=shift_spec, dp=dp)
-            qkv = ctx = None
-    return out, (x, tuple(params), bias, dp, qkv, ctx)
+            qkv = ctx = p = None
+    return out, (x, tuple(params), bias, dp, qkv, ctx, p)
 
 
 def _full_bwd_stored(scale, num_heads, interpret, res, g):
-    x, params, bias, dp, qkv, ctx = res
+    x, params, bias, dp, qkv, ctx, p = res
     interp = interpret or jax.default_backend() != "tpu"
     return _stored_block_bwd(x, params, bias, dp, qkv, ctx, g, scale,
-                             num_heads, interp)
+                             num_heads, interp, p=p)
 
 
 def _dot(a, b):                         # (R, K) @ (K, L), f32 accumulate
@@ -1680,7 +1747,7 @@ def swin_qkv_tail_bwd(x2, dqkv2, dres1, wqkv, ln1s, ln1b,
 
 
 def _stored_block_bwd(x, params, bias, dp, qkv, ctx, g, scale, num_heads,
-                      interp):
+                      interp, p=None):
     """Store-residual backward of the whole Swin block.
 
     Consumes the forward kernel's QKV and ctx (FLAT (BW*N, ·) layout)
@@ -1778,9 +1845,11 @@ def _stored_block_bwd(x, params, bias, dp, qkv, ctx, g, scale, num_heads,
     dbproj = da.sum(0)
     dctx = mm(da_d, wproj.astype(dt).T).astype(dt)
 
-    # --- attention core backward on the saved QKV (Pallas, flat rows) ---
+    # --- attention core backward on the saved QKV (Pallas, flat rows;
+    # stored-p variant when the forward saved the softmax) ---
     dQKV2, dbias = attention_core_bwd_flat(qkv, dctx, bias, N, scale,
-                                           num_heads, interpret=interp)
+                                           num_heads, interpret=interp,
+                                           p2=p)
     dQKV2_d = dQKV2.astype(dt)
 
     # --- qkv head: recompute LN1 (elementwise) ---
@@ -1819,7 +1888,7 @@ def _full_bwd_stored_shift(scale, num_heads, interpret, shift_spec, res,
     recompute already paid), the layout-free stored backward runs there,
     and dx/ddp come back through the inverse permutation.  The (rel,
     mask) bias tuple grads are reductions of the combined-bias grad."""
-    x, params, bias, dp, qkv, ctx = res
+    x, params, bias, dp, qkv, ctx, _p = res    # p not stored on shift path
     interp = interpret or jax.default_backend() != "tpu"
     H, W, window, shift = shift_spec
     BW, N, C = x.shape
@@ -1862,7 +1931,7 @@ def _full_bwd_stored_shift(scale, num_heads, interpret, shift_spec, res,
 
 
 def _full_bwd(scale, num_heads, group, interpret, shift_spec, res, g):
-    x, params, bias, dp, qkv, ctx = res
+    x, params, bias, dp, qkv, ctx, _p = res
     if qkv is not None:
         if shift_spec is not None:
             return _full_bwd_stored_shift(scale, num_heads, interpret,
@@ -3642,8 +3711,63 @@ def _core_bwd_kernel2d(qkv_ref, dctx_ref, bias_ref, dqkv_ref, dbias_ref,
             dbias_ref[(base + g) % Gb, hh] += ds
 
 
+def _core_bwd_storep_kernel(p_ref, qkv_ref, dctx_ref, dqkv_ref, dbias_ref,
+                            *, seq_n: int, scale: float, num_heads: int):
+    """Single-pass attention-core backward consuming the STORED softmax
+    (saved by the forward's ``store_p`` mode) instead of recomputing
+    QK^T + exp — measured -30% at stage-3 geometry
+    (scripts/probe_core_p.py).  Bit-differences vs the recompute path
+    come only from p's storage dtype (bf16 on the fast path)."""
+    GN, C3 = qkv_ref.shape
+    N = seq_n
+    G = GN // N
+    C = C3 // 3
+    Gb = dbias_ref.shape[0]
+    Dh = C // num_heads
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    ones = jnp.ones((N, 1), jnp.float32)
+    base = pl.program_id(0) * G
+    dt = qkv_ref.dtype
+    for g in range(G):
+        rows = qkv_ref[g * N:(g + 1) * N]
+        for hh in range(num_heads):
+            qd = rows[:, hh * Dh:(hh + 1) * Dh]
+            kd = rows[:, C + hh * Dh:C + (hh + 1) * Dh]
+            vd = rows[:, 2 * C + hh * Dh:2 * C + (hh + 1) * Dh]
+            dctx_d = dctx_ref[g * N:(g + 1) * N, hh * Dh:(hh + 1) * Dh]
+            pd = p_ref[g * num_heads + hh]
+            p = pd.astype(jnp.float32)
+            dp = jax.lax.dot_general(dctx_d, vd, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            dv = jax.lax.dot_general(pd, dctx_d, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            pdp = p * dp
+            rd = jax.lax.dot_general(pdp, ones, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            ds = pdp - p * rd
+            dsd = ds.astype(dt)
+            dq = jax.lax.dot_general(dsd, kd, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32) \
+                * scale
+            dk = jax.lax.dot_general(dsd, qd, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32) \
+                * scale
+            sl = slice(g * N, (g + 1) * N)
+            dqkv_ref[sl, hh * Dh:(hh + 1) * Dh] = dq.astype(dqkv_ref.dtype)
+            dqkv_ref[sl, C + hh * Dh:C + (hh + 1) * Dh] = \
+                dk.astype(dqkv_ref.dtype)
+            dqkv_ref[sl, 2 * C + hh * Dh:2 * C + (hh + 1) * Dh] = \
+                dv.astype(dqkv_ref.dtype)
+            dbias_ref[(base + g) % Gb, hh] += ds
+
+
 def attention_core_bwd_flat(qkv2, dctx2, bias, n: int, scale: float,
-                            num_heads: int, interpret: bool = False):
+                            num_heads: int, interpret: bool = False,
+                            p2=None):
     """:func:`attention_core_bwd` on FLAT stored-residual rows.
 
     qkv2: (BW*n, 3C); dctx2: (BW*n, C); bias: (nWb, nH, n, n).  Returns
@@ -3683,19 +3807,38 @@ def attention_core_bwd_flat(qkv2, dctx2, bias, n: int, scale: float,
                                    memory_space=pltpu.VMEM)
     bias_spec = pl.BlockSpec(bias_m.shape, lambda i: (0,) * bias_m.ndim,
                              memory_space=pltpu.VMEM)
-    dqkv2, dbias_m = pl.pallas_call(
-        functools.partial(_core_bwd_kernel2d, seq_n=N, scale=scale,
-                          num_heads=num_heads,
-                          fast=(qkv2.dtype == jnp.bfloat16 and not interpret)),
-        grid=(BWm // G,),
-        in_specs=[spec2(C3), spec2(C), bias_spec],
-        out_specs=(spec2(C3), bias_spec),
-        out_shape=(jax.ShapeDtypeStruct((M, C3), qkv2.dtype),
-                   jax.ShapeDtypeStruct(bias_m.shape, jnp.float32)),
-        scratch_shapes=[pltpu.VMEM((G * num_heads, N, N), jnp.float32),
-                        pltpu.VMEM((G * num_heads, N, N), jnp.float32)],
-        interpret=interpret,
-    )(qkv2, dctx2, bias_m)
+    if (p2 is not None
+            and p2.shape == (BWm * num_heads, N, N)
+            and not os.environ.get("MVLT_NO_STOREP")):
+        # stored-softmax single-pass backward: no QK^T/exp recompute, no
+        # p/dp VMEM scratch round-trips (-30% at stage-3 geometry)
+        p_spec = pl.BlockSpec((G * num_heads, N, N), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+        dqkv2, dbias_m = pl.pallas_call(
+            functools.partial(_core_bwd_storep_kernel, seq_n=N,
+                              scale=scale, num_heads=num_heads),
+            grid=(BWm // G,),
+            in_specs=[p_spec, spec2(C3), spec2(C)],
+            out_specs=(spec2(C3), bias_spec),
+            out_shape=(jax.ShapeDtypeStruct((M, C3), qkv2.dtype),
+                       jax.ShapeDtypeStruct(bias_m.shape, jnp.float32)),
+            interpret=interpret,
+        )(p2, qkv2, dctx2)
+    else:
+        dqkv2, dbias_m = pl.pallas_call(
+            functools.partial(
+                _core_bwd_kernel2d, seq_n=N, scale=scale,
+                num_heads=num_heads,
+                fast=(qkv2.dtype == jnp.bfloat16 and not interpret)),
+            grid=(BWm // G,),
+            in_specs=[spec2(C3), spec2(C), bias_spec],
+            out_specs=(spec2(C3), bias_spec),
+            out_shape=(jax.ShapeDtypeStruct((M, C3), qkv2.dtype),
+                       jax.ShapeDtypeStruct(bias_m.shape, jnp.float32)),
+            scratch_shapes=[pltpu.VMEM((G * num_heads, N, N), jnp.float32),
+                            pltpu.VMEM((G * num_heads, N, N), jnp.float32)],
+            interpret=interpret,
+        )(qkv2, dctx2, bias_m)
     if merged:
         top = dbias_m[:, :, :n, :n]
         bot = dbias_m[:, :, n:, n:]

@@ -1143,3 +1143,43 @@ def test_half_train_path_in_model():
                     jax.tree_util.tree_leaves(gb)):
         np.testing.assert_allclose(np.asarray(p), np.asarray(q),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_stored_p_backward_matches_recompute():
+    """The stored-softmax attention-core backward (saved by the >=12-head
+    whole-block save forward, consumed by ``attention_core_bwd_flat``'s
+    ``p2`` path) must match the recompute backward.  f32 interpret mode
+    stores p exactly, so grads agree to float tolerance."""
+    import os
+
+    import jax
+    import numpy as np
+
+    import mvlt_tpu.ops.pallas_attn as pa
+
+    rng = np.random.default_rng(0)
+    BW, N, C, nH = 8, 49, 96, 12          # 12 heads => store_p active
+    x = jnp.asarray(rng.normal(size=(BW, N, C)) * .1, jnp.float32)
+    params = tuple(
+        jnp.asarray(rng.normal(size=s) * .05, jnp.float32) for s in
+        [(C,), (C,), (C, 3 * C), (3 * C,), (C, C), (C,), (C,), (C,),
+         (C, 4 * C), (4 * C,), (4 * C, C), (C,)])
+    bias = jnp.asarray(rng.normal(size=(1, nH, N, N)) * .1, jnp.float32)
+    scale = (C // nH) ** -0.5
+
+    def loss(x, params):
+        out = pa.swin_full_block(x, params, bias, scale, nH,
+                                 interpret=True)
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    grad = jax.value_and_grad(loss, argnums=(0, 1))
+    l_on, g_on = grad(x, params)
+    os.environ["MVLT_NO_STOREP"] = "1"
+    try:
+        l_off, g_off = grad(x, params)
+    finally:
+        del os.environ["MVLT_NO_STOREP"]
+    assert float(l_on) == float(l_off)
+    np.testing.assert_allclose(g_on[0], g_off[0], atol=1e-4)
+    for a, b in zip(g_on[1], g_off[1]):
+        np.testing.assert_allclose(a, b, atol=1e-4)
