@@ -1184,10 +1184,15 @@ def _full_forward_inner(x, params, bias, *, scale, num_heads, group,
     BW, N, C = x.shape
     nWb = bias.shape[0]
     G = int(os.environ.get("MVLT_GROUP", group))
-    # stored-p backward pays off only where the per-unit recompute is the
-    # core-bwd bottleneck (measured: stage-3 geometry, >=12 heads; the
-    # (BW*nH, N, N) p traffic loses at stages 1-2) — probe_core_p.py
+    # stored-p backward: OPT-IN (MVLT_STOREP=1).  The isolated core-bwd
+    # kernel wins at stage-3 geometry (0.43 -> 0.34 ms, probe_core_p.py)
+    # but at STEP level the ~127 MB of live p residuals between forward
+    # and backward cost more than the recompute they avoid (measured
+    # 72.1 -> 75.2 ms/step chained) — memory pressure a single-block
+    # probe cannot see.  Kept as tested infrastructure for larger-VMEM /
+    # higher-head-count deployments.
     store_p = (save_res and num_heads >= 12 and N <= 128
+               and bool(os.environ.get("MVLT_STOREP"))
                and not os.environ.get("MVLT_NO_STOREP"))
     # VMEM budget: the dominant in-kernel value is the (G*N, 4C) f32 MLP
     # intermediate; cap it (plus qkv + x blocks, and the qkv/ctx [+ p]
@@ -3810,6 +3815,7 @@ def attention_core_bwd_flat(qkv2, dctx2, bias, n: int, scale: float,
     if (p2 is not None
             and p2.shape == (BWm * num_heads, N, N)
             and not os.environ.get("MVLT_NO_STOREP")):
+        # (reached only when the forward stored p — itself opt-in)
         # stored-softmax single-pass backward: no QK^T/exp recompute, no
         # p/dp VMEM scratch round-trips (-30% at stage-3 geometry)
         p_spec = pl.BlockSpec((G * num_heads, N, N), lambda i: (i, 0, 0),

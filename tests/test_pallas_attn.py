@@ -1173,12 +1173,12 @@ def test_stored_p_backward_matches_recompute():
         return (out.astype(jnp.float32) ** 2).sum()
 
     grad = jax.value_and_grad(loss, argnums=(0, 1))
-    l_on, g_on = grad(x, params)
-    os.environ["MVLT_NO_STOREP"] = "1"
+    os.environ["MVLT_STOREP"] = "1"           # the path is opt-in
     try:
-        l_off, g_off = grad(x, params)
+        l_on, g_on = grad(x, params)
     finally:
-        del os.environ["MVLT_NO_STOREP"]
+        del os.environ["MVLT_STOREP"]
+    l_off, g_off = grad(x, params)
     assert float(l_on) == float(l_off)
     np.testing.assert_allclose(g_on[0], g_off[0], atol=1e-4)
     for a, b in zip(g_on[1], g_off[1]):
