@@ -1,12 +1,14 @@
-"""Stage-3 (14x14, C=384, 12 heads, 18 blocks) Swin training-block probe.
+"""Per-stage Swin training-block probe (STAGE=1..4 env var; default 3).
 
-The round-3 decomposition left stage 3 as the bulk of the ~48 ms Swin
-f+b cost.  This isolates ONE stage-3 block at b32/bf16 and splits its
-time: pallas-vs-XLA, fwd-vs-f+b, and an attend-ablated kernel run
-(attention core replaced by a copy) to separate the big-matmul cost
-from the per-head attend-loop cost.
+Isolates ONE block at b32/bf16 and splits its time: pallas-vs-XLA,
+fwd-vs-f+b, and trace-time ablations of each kernel piece (attend, LN,
+GELU, and the three backward kernels) via cheap input-dependent
+stand-ins.  NO_ABLATE=1 runs just the two baselines; SHIFT=3 probes the
+SW-MSA variant.
 
-ITERS=100 chained in one jit keeps the axon dispatch floor ~0.3 ms/line.
+ITERS=100 chained in one jit keeps the axon per-execution floor at
+~0.24 ms/line (subtract it when quoting absolute per-block numbers —
+PERF.md round-4 metrology note).
 """
 import os
 import sys
