@@ -986,7 +986,7 @@ def _full_forward_shift(x, params, bias, *, scale, num_heads, interpret,
                 # surrounding jit keeps extra buffers resident) — give the
                 # margin explicitly rather than losing the fold.
                 compiler_params=pltpu.CompilerParams(
-                    vmem_limit_bytes=24 * 1024 * 1024),
+                    vmem_limit_bytes=32 * 1024 * 1024),
             )(x2, *params, rel_m, mask_m, dp[0], dp[1])
         else:
             out, qkv, ctx = pl.pallas_call(
@@ -1005,7 +1005,7 @@ def _full_forward_shift(x, params, bias, *, scale, num_heads, interpret,
                 # deterministic routes here and was observed 309K over
                 # the 16MB default accounting under jvp.
                 compiler_params=pltpu.CompilerParams(
-                    vmem_limit_bytes=24 * 1024 * 1024),
+                    vmem_limit_bytes=32 * 1024 * 1024),
             )(x2, *params, rel_m, mask_m)
         return out.reshape(BW, N, C), qkv, ctx
     if dp is not None:
@@ -1028,7 +1028,7 @@ def _full_forward_shift(x, params, bias, *, scale, num_heads, interpret,
             # see the dp_save variant above: explicit margin over the
             # 16MB default for stage-1's 896-run fold
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=24 * 1024 * 1024),
+                vmem_limit_bytes=32 * 1024 * 1024),
         )(x2, *params, rel_m, mask_m, dp[0], dp[1])
         return out.reshape(BW, N, C)
     out = pl.pallas_call(
@@ -1045,7 +1045,7 @@ def _full_forward_shift(x, params, bias, *, scale, num_heads, interpret,
                         pltpu.VMEM((rows, C), x.dtype)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=24 * 1024 * 1024),
+            vmem_limit_bytes=32 * 1024 * 1024),
     )(x2, *params, rel_m, mask_m)
     return out.reshape(BW, N, C)
 
