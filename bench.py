@@ -137,6 +137,57 @@ def measure_retrieval_scoring(batch: int = 128, iters: int = 20) -> float:
     return batch * iters / dt
 
 
+def measure_retrieval_grid(n: int = 128, iters: int = 8) -> float:
+    """PRODUCTION retrieval eval throughput (pairs/sec): encode each image
+    ONCE, then sweep the NxN grid fusion-only — the actual
+    ``tasks/retrieval.py:score_grid`` path (VERDICT r4 item 2).  The
+    older ``measure_retrieval_scoring`` column re-runs the full Swin
+    backbone per pair (the reference's worst-case semantics,
+    run_retrieval.py:192-217) and stays for comparability.
+
+    One pass scores all n^2 pairs: scan over image rows, each row scoring
+    its cached features against all n captions in one fused batch."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mvlt_tpu.flagship import flagship_vqa_config, zeros_init
+    from mvlt_tpu.models.heads import RetrievalModel
+
+    cfg = flagship_vqa_config()
+    model = RetrievalModel(cfg, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.normal(size=(8, 3, 224, 224)), jnp.float32)
+    caption = jnp.asarray(rng.integers(1, 30000, (n, 40)), jnp.int32)
+    variables = zeros_init(model, image[:1], caption[:1])
+
+    def encode(variables, image):
+        return model.apply(variables, image, deterministic=True,
+                           method=model.encode_image)
+
+    feats_small = jax.jit(encode)(variables, image)          # (8, T, H)
+    # n distinct feature rows (content irrelevant to throughput)
+    feats = jnp.tile(feats_small, (n // 8, 1, 1))
+
+    def sweep(variables, feats, caption):
+        def row(carry, fi):
+            f = jnp.broadcast_to(fi[None], (n,) + fi.shape)
+            p = model.apply(variables, f, caption, deterministic=True,
+                            method=model.score_from_features)
+            return carry + p.mean(), None
+        def one_pass(tot, _):
+            s, _ = jax.lax.scan(row, jnp.float32(0), feats)
+            return tot + s * 1e-12, s
+        tot, _ = jax.lax.scan(one_pass, jnp.float32(0), None, length=iters)
+        return tot
+
+    jsweep = jax.jit(sweep)
+    float(jax.device_get(jsweep(variables, feats, caption)))
+    t0 = time.perf_counter()
+    float(jax.device_get(jsweep(variables, feats, caption)))
+    dt = time.perf_counter() - t0
+    return n * n * iters / dt
+
+
 def measure_pretrain_step(batch: int = 32, iters: int = 10) -> float:
     """Full training-step throughput (fwd+bwd+AdamW), flagship pretrain
     model at the reference's config of record (Swin-S, batch 32, MLM+ITM,
@@ -306,7 +357,8 @@ def main() -> None:
     ap.add_argument("--cpu-baseline", action="store_true",
                     help="measure the CPU float32 batch-8 baseline and exit")
     ap.add_argument("--mode", default="vqa",
-                    choices=["vqa", "caption", "pretrain", "retrieval"])
+                    choices=["vqa", "caption", "pretrain", "retrieval",
+                             "retrieval_grid"])
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--headline-only", action="store_true",
@@ -323,6 +375,12 @@ def main() -> None:
     if args.mode == "retrieval":
         val = measure_retrieval_scoring(args.batch or 128, args.iters or 20)
         print(json.dumps({"metric": "retrieval_itm_pairs_per_sec",
+                          "value": round(val, 2), "unit": "pairs/sec",
+                          "vs_baseline": 0.0}))
+        return
+    if args.mode == "retrieval_grid":
+        val = measure_retrieval_grid(args.batch or 128, args.iters or 8)
+        print(json.dumps({"metric": "retrieval_grid_pairs_per_sec",
                           "value": round(val, 2), "unit": "pairs/sec",
                           "vs_baseline": 0.0}))
         return
@@ -404,9 +462,18 @@ def main() -> None:
              lambda: measure_caption_decode(32))
         _try("retrieval_itm_pairs_per_sec",
              lambda: measure_retrieval_scoring(128, 20))
+        _try("retrieval_grid_pairs_per_sec",
+             lambda: measure_retrieval_grid(128, 8))
     # label the forward-only MFU explicitly (VERDICT r2 weak item 2)
     if "mfu" in out:
         out["fwd_mfu"] = out.pop("mfu")
+    # Methodology version (VERDICT r4 item 8): bump when the measurement
+    # method changes so BENCH_r*.json series aren't silently rebased.
+    #   1 = rounds 1-3 (single-execution timing; carries the ~24 ms
+    #       per-execution tunnel floor in short runs)
+    #   2 = round 4+ (chained-iteration programs, floor amortized to ~1%)
+    #   3 = round 5+ (adds retrieval_grid_pairs_per_sec production path)
+    out["methodology"] = 3
     print(json.dumps(out))
 
 

@@ -151,6 +151,43 @@ class ImageFolderSource:
         return caption, (path, caption[:64])
 
 
+class U8CacheSource:
+    """Preprocessed raw-uint8 image cache: one memory-mapped
+    ``images.u8`` array of shape (N, H, W, 3) — or (N, V, H, W, 3) for
+    two-view — plus a ``meta.json`` sidecar with captions/ids.
+
+    The TPU-era analogue of the reference's offline normalized-f32
+    pickles (``preprocess_rgc.py:8-51``): the reference decodes+resizes+
+    normalizes ONCE offline and trains from pickles; here normalization
+    runs inside the jitted model (``adapter.device_var_normalize``), so
+    the cache stores RAW resized uint8 — 4x smaller than f32, zero
+    image decode at train time, and the per-sample host cost collapses
+    to a memmap read + collate.  Build with
+    ``mvlt_tpu.data.preprocess.build_u8_cache`` (CLI:
+    ``preprocess_data.py u8-cache``)."""
+
+    def __init__(self, cache_dir: str):
+        with open(os.path.join(cache_dir, "meta.json")) as f:
+            meta = json.load(f)
+        self.captions: List[str] = meta["captions"]
+        self.img_ids = meta["img_ids"]
+        self.cap_ids = meta["cap_ids"]
+        shape = tuple(meta["shape"])
+        self.images = np.memmap(os.path.join(cache_dir, "images.u8"),
+                                dtype=np.uint8, mode="r", shape=shape)
+
+    def __len__(self):
+        return len(self.captions)
+
+    def __getitem__(self, index: int):
+        # np.asarray: a plain view; the stack in collate makes the copy
+        return (np.asarray(self.images[index]), self.captions[index],
+                self.img_ids[index], self.cap_ids[index])
+
+    def peek(self, index: int):
+        return self.captions[index], self.cap_ids[index]
+
+
 class SyntheticSource:
     """Deterministic fake source for tests/benchmarks (no reference
     equivalent; the reference has no test data strategy, SURVEY.md §4)."""

@@ -64,6 +64,51 @@ def preprocess_rgc(data_root: str, splits=("train", "test"),
             pickle.dump(img_idx2path, f)
 
 
+def build_u8_cache(items, out_dir: str, image_size: int = 224,
+                   img_ids=None, cap_ids=None) -> str:
+    """Offline decode+resize to a raw-uint8 memmap cache
+    (:class:`mvlt_tpu.data.datasets.U8CacheSource`).
+
+    ``items``: sequence of ``(image_path, caption)`` — or
+    ``([path_view0, path_view1], caption)`` for two-view sources.  The
+    reference's own production layout is offline-preprocessed pickles
+    (``preprocess_rgc.py:8-51``); its normalized-f32 payload becomes raw
+    uint8 here because normalization runs on device
+    (``adapter.device_var_normalize``) — 4x smaller on disk and the
+    train-time host path is read + collate only.
+    """
+    from mvlt_tpu.data.transforms import load_image_u8
+
+    os.makedirs(out_dir, exist_ok=True)
+    items = list(items)
+    n = len(items)
+    first_paths = items[0][0]
+    two_view = isinstance(first_paths, (list, tuple))
+    v = len(first_paths) if two_view else 1
+    shape = ((n, v, image_size, image_size, 3) if two_view
+             else (n, image_size, image_size, 3))
+    arr = np.memmap(os.path.join(out_dir, "images.u8"), dtype=np.uint8,
+                    mode="w+", shape=shape)
+    captions = []
+    for i, (paths, caption) in enumerate(items):
+        if two_view:
+            for j, p in enumerate(paths):
+                arr[i, j] = load_image_u8(p, image_size)
+        else:
+            arr[i] = load_image_u8(paths, image_size)
+        captions.append(caption)
+    arr.flush()
+    meta = {"shape": list(shape), "image_size": image_size,
+            "captions": captions,
+            "img_ids": list(img_ids) if img_ids is not None
+            else list(range(n)),
+            "cap_ids": list(cap_ids) if cap_ids is not None
+            else list(range(n))}
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return out_dir
+
+
 def preprocess_vqa_images(data_root: str, dataset: str,
                           image_size: int = 224) -> str:
     """SLAKE xmlab<id> dirs / VQA-RAD image folder -> image bank pickle

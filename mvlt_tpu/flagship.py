@@ -68,7 +68,8 @@ def tiny_pretrain_config() -> MVLTConfig:
 
 
 def lower_flagship_multichip(n_devices: int, batch: int = 32,
-                             seq_len: int = 80) -> None:
+                             seq_len: int = 80, mps=None,
+                             devices=None) -> None:
     """AOT-lower AND COMPILE (no execution) the FLAGSHIP-geometry pretrain
     step (Swin-S @224 + BERT-base, MLM+ITM, b``batch``, L``seq_len``) over
     an ``n_devices`` mesh, for BOTH partitioning modes: DP-only shard_map
@@ -105,8 +106,10 @@ def lower_flagship_multichip(n_devices: int, batch: int = 32,
             lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
             shapes, shardings)
 
-    devices = jax.devices()[:n_devices]
-    for mp in sorted({1, 2 if n_devices % 2 == 0 and n_devices > 1 else 1}):
+    devices = jax.devices()[:n_devices] if devices is None else devices
+    if mps is None:
+        mps = sorted({1, 2 if n_devices % 2 == 0 and n_devices > 1 else 1})
+    for mp in mps:
         mesh = build_mesh(MeshConfig(model_parallel=mp), devices=devices)
         from mvlt_tpu.parallel.partition import param_shardings
         from mvlt_tpu.train.steps import _mirror_opt_shardings
@@ -130,6 +133,64 @@ def lower_flagship_multichip(n_devices: int, batch: int = 32,
         step.lower(abstract_state, abstract_batch, abstract_rng).compile()
 
 
+def execute_flagship_multichip(n_devices: int, batch: int = 8,
+                               seq_len: int = 80) -> float:
+    """EXECUTE (not just compile) one REAL-SHAPE flagship pretrain step
+    (Swin-S @224 + BERT-base, MLM+ITM, L``seq_len``) over an
+    ``n_devices`` DP mesh with real arrays at a reduced batch.
+
+    :func:`lower_flagship_multichip` proves the real shapes *partition*;
+    this catches the runtime-only failure modes the AOT compile can't —
+    sharded AdamW numerics, collective layouts at flagship widths, the
+    donated-buffer update path — and asserts the loss is finite
+    (VERDICT r4 item 5).  Params are zeros_init + a deterministic small
+    perturbation so LN/softmax/loss paths see non-degenerate values
+    without paying a flagship ``model.init`` compile.  Returns the loss."""
+    from mvlt_tpu.parallel import build_mesh
+    from mvlt_tpu.train import (create_train_state, make_optimizer,
+                                make_pretrain_step, shard_train_state)
+
+    cfg = dataclasses.replace(flagship_vqa_config(), itm_task=True,
+                              max_length=seq_len)
+    model = PretrainModel(cfg, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    batch_np = {
+        "image": jnp.asarray(rng.normal(size=(batch, 3, 224, 224)),
+                             jnp.float32),
+        "caption_masked": jnp.asarray(
+            rng.integers(1, 30000, (batch, seq_len)), jnp.int32),
+        "caption_label": jnp.asarray(
+            np.where(rng.random((batch, seq_len)) < 0.15,
+                     rng.integers(1, 30000, (batch, seq_len)), -100),
+            jnp.int32),
+        "itm_label": jnp.asarray(rng.integers(0, 2, (batch,)), jnp.int32),
+    }
+    variables = zeros_init(model, *(batch_np[k] for k in
+                                    ("image", "caption_masked",
+                                     "caption_label", "itm_label")))
+
+    def perturb(leaf):
+        if leaf.dtype not in (jnp.float32, jnp.bfloat16):
+            return leaf
+        r = np.random.default_rng(leaf.size % 100003)
+        return jnp.asarray(
+            r.normal(scale=0.02, size=leaf.shape).astype(np.float32),
+            leaf.dtype)
+
+    variables = jax.tree.map(perturb, variables)
+    mesh = build_mesh(MeshConfig(), devices=jax.devices()[:n_devices])
+    state, shardings = shard_train_state(
+        create_train_state(model, variables, make_optimizer(cfg)), mesh)
+    step = make_pretrain_step(model, seq2seq=False, mesh=mesh,
+                              state_shardings=shardings)
+    state, metrics = step(state, step.shard_batch(batch_np),
+                          jax.random.PRNGKey(1))
+    loss = float(metrics["loss"])
+    assert np.isfinite(loss), f"non-finite flagship sharded loss {loss}"
+    assert int(state.step) == 1
+    return loss
+
+
 def dryrun_multichip(n_devices: int, geometry: str = "tiny") -> None:
     """Compile + execute ONE full sharded training step (fwd, bwd, AdamW)
     of the flagship pretraining model over an ``n_devices`` mesh with real
@@ -137,11 +198,16 @@ def dryrun_multichip(n_devices: int, geometry: str = "tiny") -> None:
     family: it has no MoE and sequences are <=250 tokens (SURVEY.md §2.3).
 
     ``geometry='flagship'`` instead AOT-compiles (no execution) the real
-    flagship-size step for both partitioning modes — see
-    :func:`lower_flagship_multichip`.
+    flagship-size step for both partitioning modes
+    (:func:`lower_flagship_multichip`); ``geometry='flagship_exec'``
+    EXECUTES a real-shape DP step at b8
+    (:func:`execute_flagship_multichip`).
     """
     if geometry == "flagship":
         return lower_flagship_multichip(n_devices)
+    if geometry == "flagship_exec":
+        execute_flagship_multichip(n_devices)
+        return None
     from mvlt_tpu.parallel import build_mesh
     from mvlt_tpu.train import (create_train_state, make_optimizer,
                                 make_pretrain_step, shard_train_state)

@@ -34,6 +34,8 @@ from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from mvlt_tpu.utils.env import env_flag
 import numpy as np
 from flax import linen as nn
 
@@ -315,7 +317,7 @@ class SwinBlock(nn.Module):
         # and the backward is the stored-residual composition.
         train_half_ok = not self.is_initializing() and not deterministic \
             and (self.drop == 0.0 and self.attn_drop == 0.0) \
-            and not os.environ.get("MVLT_NO_HALF_TRAIN") and (
+            and not env_flag("MVLT_NO_HALF_TRAIN") and (
                 impl == "interpret_half"
                 or (impl == "auto" and _tpu_native_ok() and not weights_fit))
         if train_half_ok:

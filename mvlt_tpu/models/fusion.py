@@ -26,6 +26,8 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from mvlt_tpu.utils.env import env_flag
 from flax import linen as nn
 
 from mvlt_tpu.config import FusionConfig
@@ -103,14 +105,14 @@ class SelfAttention(nn.Module):
         fusable_bias = bias is not None and bias.ndim == 4 \
             and bias.shape[1] == 1
         import os
-        force = bool(os.environ.get("MVLT_FORCE_FUSED_ENCODER"))
+        force = env_flag("MVLT_FORCE_FUSED_ENCODER")
         # Training uses the masked kernels too: their custom VJPs are
         # store-residual backwards (the forward kernel emits QKV/ctx, so
         # the backward skips the whole-forward recompute that made the
         # fused training path a wash in earlier measurements).
         if (cache_kv is None and fusable_bias and not need_kv
                 and not self.is_initializing()
-                and not os.environ.get("MVLT_NO_FUSED_ENCODER")
+                and not env_flag("MVLT_NO_FUSED_ENCODER")
                 and (_tpu_native_ok() or force)):
             from mvlt_tpu.ops.pallas_attn import (fused_attn_ln,
                                                   fused_attn_ln_masked)
@@ -138,7 +140,7 @@ class SelfAttention(nn.Module):
                 # On-chip parity-tested; measured neutral at flagship
                 # shapes (405.7 vs 410.8 samples/s — rbg mask gen is
                 # cheap), so the default stays the explicit mask.
-                if (os.environ.get("MVLT_KERNEL_DROPOUT")
+                if (env_flag("MVLT_KERNEL_DROPOUT")
                         and cdt == jnp.bfloat16 and not interp):
                     adrop_rate = float(cfg.attention_probs_dropout_prob)
                     # two 16-bit halves as exact f32 (Mosaic rejects
@@ -229,11 +231,11 @@ class EncoderLayer(nn.Module):
         # rides in as a multiplicative mask.  Decode steps (T<=2 rows)
         # are too small to benefit and stay on XLA.
         import os
-        force = bool(os.environ.get("MVLT_FORCE_FUSED_ENCODER"))
+        force = env_flag("MVLT_FORCE_FUSED_ENCODER")
         # training rides the masked kernel too (store-residual backward)
         if (cache_kv is None
                 and not self.is_initializing()
-                and not os.environ.get("MVLT_NO_FUSED_ENCODER")
+                and not env_flag("MVLT_NO_FUSED_ENCODER")
                 and (_tpu_native_ok() or force)):
             from mvlt_tpu.ops.pallas_attn import (fused_mlp_ln,
                                                   fused_mlp_ln_masked)

@@ -15,10 +15,12 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from mvlt_tpu.utils.env import env_flag
+
 
 def _use_pallas(q: jnp.ndarray, k: jnp.ndarray,
                 bias: Optional[jnp.ndarray]) -> bool:
-    if os.environ.get("MVLT_DISABLE_PALLAS"):
+    if env_flag("MVLT_DISABLE_PALLAS"):
         return False
     if jax.default_backend() != "tpu":
         return False

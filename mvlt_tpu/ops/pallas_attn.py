@@ -34,6 +34,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mvlt_tpu.utils.env import env_flag, env_int
+
 
 def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
             fast: bool = False):
@@ -213,6 +215,23 @@ def _merge_bias_pairs(bias):
     return neg.at[:, :, :N, :N].set(top).at[:, :, N:, N:].set(bot)
 
 
+def _warn_storep_unused(reason: str) -> None:
+    """The caller opted into the stored-p backward (MVLT_STOREP) but the
+    recompute kernel runs instead — correct, but an invisible perf cliff
+    unless surfaced."""
+    import warnings
+    warnings.warn(f"stored-p backward requested but falling back to the "
+                  f"recompute kernel: {reason}")
+
+
+def _can_merge_pairs(n: int, BW: int, nWb: int) -> bool:
+    """SINGLE predicate for window-pair merging — used by the forward
+    (:func:`_merge_window_pairs`) and the stored-residual backward
+    (:func:`attention_core_bwd_flat`), so the forward's merge decision
+    and the backward's stored-p shape check can never diverge."""
+    return n <= 64 and BW % 2 == 0 and (nWb == 1 or nWb % 2 == 0)
+
+
 def _merge_window_pairs(x, bias):
     """Pair adjacent windows into one block-diagonal attention group.
 
@@ -222,7 +241,7 @@ def _merge_window_pairs(x, bias):
     (BW, N, C) -> (BW/2, 2N, C) — free.  Returns (x', bias', merged)."""
     BW, N, C = x.shape
     nWb = bias.shape[0]
-    if N > 64 or BW % 2 != 0 or (nWb > 1 and nWb % 2 != 0):
+    if not _can_merge_pairs(N, BW, nWb):
         return x, bias, False
     return x.reshape(BW // 2, 2 * N, C), _merge_bias_pairs(bias), True
 
@@ -531,11 +550,15 @@ def _attend(q, k, v, bias, fast: bool, scale: float = 1.0,
         ctx = jax.lax.dot_general(p.astype(v.dtype), v,
                                   (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
-        recip = pl.reciprocal(jnp.maximum(rowsum, 1e-30), approx=True)
+        rowsum = jnp.maximum(rowsum, 1e-30)
+        recip = pl.reciprocal(rowsum, approx=True)
         if want_p:
-            # normalized softmax as a SIDE product (ctx math unchanged)
-            # for the stored-p backward
-            return ctx * recip, p * recip
+            # normalized softmax as a SIDE product (ctx math unchanged).
+            # The stored side uses the EXACT reciprocal so stored rows sum
+            # to 1 up to storage dtype — the storep backward's softmax
+            # Jacobian (ds = p*dp − p·rowsum(p*dp)) assumes normalized p;
+            # ctx keeps the approx fast path.
+            return ctx * recip, p * (1.0 / rowsum)
         return ctx * recip
     s = s - jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s)
@@ -1176,14 +1199,30 @@ def _full_forward(x, params, bias, *, scale, num_heads, group, interpret,
     return out.reshape(orig_shape) if merged else out
 
 
-_VMEM_CAP = int(os.environ.get("MVLT_VMEM_CAP", 8 * 1024 * 1024))
+_DEFAULT_VMEM_CAP = 8 * 1024 * 1024
+_warned_group_override = False
+
+
+def _vmem_cap() -> int:
+    # read per call (trace time) so MVLT_VMEM_CAP set after import works
+    return env_int("MVLT_VMEM_CAP", _DEFAULT_VMEM_CAP)
 
 
 def _full_forward_inner(x, params, bias, *, scale, num_heads, group,
                         interpret, dp=None, save_res=False):
     BW, N, C = x.shape
     nWb = bias.shape[0]
-    G = int(os.environ.get("MVLT_GROUP", group))
+    G = env_int("MVLT_GROUP", group)
+    if G != group:
+        # debug-only override: it retiles EVERY stage's kernel, so make
+        # the change loud (once) instead of silently shifting production
+        global _warned_group_override
+        if not _warned_group_override:
+            _warned_group_override = True
+            import warnings
+            warnings.warn(
+                f"MVLT_GROUP={G} overrides caller group={group} for ALL "
+                "_full_forward_inner call sites (debug knob)")
     # stored-p backward: OPT-IN (MVLT_STOREP=1).  The isolated core-bwd
     # kernel wins at stage-3 geometry (0.43 -> 0.34 ms, probe_core_p.py)
     # but at STEP level the ~127 MB of live p residuals between forward
@@ -1192,14 +1231,14 @@ def _full_forward_inner(x, params, bias, *, scale, num_heads, group,
     # probe cannot see.  Kept as tested infrastructure for larger-VMEM /
     # higher-head-count deployments.
     store_p = (save_res and num_heads >= 12 and N <= 128
-               and bool(os.environ.get("MVLT_STOREP"))
-               and not os.environ.get("MVLT_NO_STOREP"))
+               and env_flag("MVLT_STOREP")
+               and not env_flag("MVLT_NO_STOREP"))
     # VMEM budget: the dominant in-kernel value is the (G*N, 4C) f32 MLP
     # intermediate; cap it (plus qkv + x blocks, and the qkv/ctx [+ p]
     # output blocks of the store-residual mode) around ~8MB
     p_row = num_heads * N * x.dtype.itemsize if store_p else 0
     row_bytes = (4 + 3 + 4) * 4 + (8 if save_res else 0)
-    while G > 1 and G * N * (C * row_bytes + p_row) > _VMEM_CAP:
+    while G > 1 and G * N * (C * row_bytes + p_row) > _vmem_cap():
         G //= 2
     while G > 1 and (BW % G != 0 or (nWb > 1 and nWb % G != 0)
                      or (G * N) % 8 != 0):
@@ -1787,7 +1826,7 @@ def _stored_block_bwd(x, params, bias, dp, qkv, ctx, g, scale, num_heads,
     dp2 = dp[1] if dp is not None else None
 
     fused_ok = (dt == jnp.bfloat16 and (BW * N) % 8 == 0
-                and not os.environ.get("MVLT_NO_FUSED_BWD"))
+                and not env_flag("MVLT_NO_FUSED_BWD"))
     # MLP-half kernel: dw1/dw2 (C, 4C) f32 accumulators must BOTH sit in
     # VMEM -> C <= 448.  qkv-tail kernel: one (C, 3C) f32 accumulator ->
     # fits through C = 768 (wide-stage training path).
@@ -2991,7 +3030,7 @@ def _mlp_ln_bwd_stored(eps, interpret, res, g):
     g2 = g.reshape(-1, C)
     res2 = res_sum[:M]
 
-    if dt == jnp.bfloat16 and not os.environ.get("MVLT_NO_FUSED_BWD"):
+    if dt == jnp.bfloat16 and not env_flag("MVLT_NO_FUSED_BWD"):
         # fused backward kernel: LN vjp + fc1/GELU/fc2 vjp with the
         # (M, 4C) f32 intermediates VMEM-resident (H-chunked grid)
         h2 = hmask.reshape(-1, C) if hmask is not None else None
@@ -3618,6 +3657,41 @@ def _core_bwd_kernel(qkv_ref, dctx_ref, bias_ref, dqkv_ref, dbias_ref,
             dbias_ref[(base + g) % Gb, hh] += ds
 
 
+def _core_bwd_from_p(p, dp, pd, qd, kd, dctx_d, dsd_dtype, scale_dq,
+                     scale_dk, ones):
+    """Shared per-head backward-from-softmax tail (dv / ds / dq / dk).
+
+    Used by BOTH :func:`_core_bwd_kernel2d` (recompute path) and
+    :func:`_core_bwd_storep_kernel` (stored-p path) so dtype/scale fixes
+    cannot silently diverge.  ``pd`` is p in the dtype for the dv matmul;
+    ``scale_dq``/``scale_dk`` absorb the two paths' conventions (the
+    recompute slow path pre-scales q, so its dk omits the scale)."""
+    dv = jax.lax.dot_general(pd, dctx_d, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    pdp = p * dp
+    rd = jax.lax.dot_general(pdp, ones, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = pdp - p * rd
+    dsd = ds.astype(dsd_dtype)
+    dq = jax.lax.dot_general(dsd, kd, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) * scale_dq
+    dk = jax.lax.dot_general(dsd, qd, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    if scale_dk != 1.0:
+        dk = dk * scale_dk
+    return dq, dk, dv, ds
+
+
+def _store_head_grads(dqkv_ref, dbias_ref, g, hh, N, C, Dh, dq, dk, dv,
+                      ds, bias_row):
+    sl = slice(g * N, (g + 1) * N)
+    dqkv_ref[sl, hh * Dh:(hh + 1) * Dh] = dq.astype(dqkv_ref.dtype)
+    dqkv_ref[sl, C + hh * Dh:C + (hh + 1) * Dh] = dk.astype(dqkv_ref.dtype)
+    dqkv_ref[sl, 2 * C + hh * Dh:2 * C + (hh + 1) * Dh] = \
+        dv.astype(dqkv_ref.dtype)
+    dbias_ref[bias_row, hh] += ds
+
+
 def _core_bwd_kernel2d(qkv_ref, dctx_ref, bias_ref, dqkv_ref, dbias_ref,
                        p_ref, dp_ref, *, seq_n: int, scale: float,
                        num_heads: int, fast: bool = False):
@@ -3686,34 +3760,13 @@ def _core_bwd_kernel2d(qkv_ref, dctx_ref, bias_ref, dqkv_ref, dbias_ref,
             p = p_ref[g * num_heads + hh]
             dp = dp_ref[g * num_heads + hh]
             pd = p.astype(dt) if fast else p
-            dv = jax.lax.dot_general(pd, dctx_d, (((0,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            pdp = p * dp
-            rd = jax.lax.dot_general(pdp, ones, (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            ds = pdp - p * rd
-            dsd = ds.astype(dt) if fast else ds
-            if fast:
-                dq = jax.lax.dot_general(
-                    dsd, kd, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32) * scale
-                dk = jax.lax.dot_general(
-                    dsd, qd, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32) * scale
-            else:
-                dq = jax.lax.dot_general(
-                    dsd, kd, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32) * scale
-                dk = jax.lax.dot_general(
-                    dsd, qd, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-            sl = slice(g * N, (g + 1) * N)
-            dqkv_ref[sl, hh * Dh:(hh + 1) * Dh] = dq.astype(dqkv_ref.dtype)
-            dqkv_ref[sl, C + hh * Dh:C + (hh + 1) * Dh] = \
-                dk.astype(dqkv_ref.dtype)
-            dqkv_ref[sl, 2 * C + hh * Dh:2 * C + (hh + 1) * Dh] = \
-                dv.astype(dqkv_ref.dtype)
-            dbias_ref[(base + g) % Gb, hh] += ds
+            # slow path pre-scaled qd, so dk carries no extra scale there
+            dq, dk, dv, ds = _core_bwd_from_p(
+                p, dp, pd, qd, kd, dctx_d,
+                dsd_dtype=dt if fast else jnp.float32,
+                scale_dq=scale, scale_dk=scale if fast else 1.0, ones=ones)
+            _store_head_grads(dqkv_ref, dbias_ref, g, hh, N, C, Dh,
+                              dq, dk, dv, ds, (base + g) % Gb)
 
 
 def _core_bwd_storep_kernel(p_ref, qkv_ref, dctx_ref, dqkv_ref, dbias_ref,
@@ -3748,26 +3801,11 @@ def _core_bwd_storep_kernel(p_ref, qkv_ref, dctx_ref, dqkv_ref, dbias_ref,
             p = pd.astype(jnp.float32)
             dp = jax.lax.dot_general(dctx_d, vd, (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32)
-            dv = jax.lax.dot_general(pd, dctx_d, (((0,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            pdp = p * dp
-            rd = jax.lax.dot_general(pdp, ones, (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            ds = pdp - p * rd
-            dsd = ds.astype(dt)
-            dq = jax.lax.dot_general(dsd, kd, (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32) \
-                * scale
-            dk = jax.lax.dot_general(dsd, qd, (((0,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32) \
-                * scale
-            sl = slice(g * N, (g + 1) * N)
-            dqkv_ref[sl, hh * Dh:(hh + 1) * Dh] = dq.astype(dqkv_ref.dtype)
-            dqkv_ref[sl, C + hh * Dh:C + (hh + 1) * Dh] = \
-                dk.astype(dqkv_ref.dtype)
-            dqkv_ref[sl, 2 * C + hh * Dh:2 * C + (hh + 1) * Dh] = \
-                dv.astype(dqkv_ref.dtype)
-            dbias_ref[(base + g) % Gb, hh] += ds
+            dq, dk, dv, ds = _core_bwd_from_p(
+                p, dp, pd, qd, kd, dctx_d, dsd_dtype=dt,
+                scale_dq=scale, scale_dk=scale, ones=ones)
+            _store_head_grads(dqkv_ref, dbias_ref, g, hh, N, C, Dh,
+                              dq, dk, dv, ds, (base + g) % Gb)
 
 
 def attention_core_bwd_flat(qkv2, dctx2, bias, n: int, scale: float,
@@ -3785,7 +3823,7 @@ def attention_core_bwd_flat(qkv2, dctx2, bias, n: int, scale: float,
     C = C3 // 3
     BW = M // n
     nWb0 = bias.shape[0]
-    if n <= 64 and BW % 2 == 0 and (nWb0 == 1 or nWb0 % 2 == 0):
+    if _can_merge_pairs(n, BW, nWb0):  # same predicate as the forward
         N, BWm, bias_m, merged = 2 * n, BW // 2, _merge_bias_pairs(bias), True
     else:
         N, BWm, bias_m, merged = n, BW, bias, False
@@ -3802,7 +3840,9 @@ def attention_core_bwd_flat(qkv2, dctx2, bias, n: int, scale: float,
     G = 8
     while G > 1 and not ok(G):
         G //= 2
-    if not ok(G) or os.environ.get("MVLT_NO_CORE2D"):
+    if not ok(G) or env_flag("MVLT_NO_CORE2D"):
+        if p2 is not None:
+            _warn_storep_unused("no VMEM-admissible 2-D group")
         dqkv, dbias = attention_core_bwd(
             qkv2.reshape(BW, n, C3), dctx2.reshape(BW, n, C), bias,
             scale, num_heads, interpret=interpret)
@@ -3814,7 +3854,7 @@ def attention_core_bwd_flat(qkv2, dctx2, bias, n: int, scale: float,
                              memory_space=pltpu.VMEM)
     if (p2 is not None
             and p2.shape == (BWm * num_heads, N, N)
-            and not os.environ.get("MVLT_NO_STOREP")):
+            and not env_flag("MVLT_NO_STOREP")):
         # (reached only when the forward stored p — itself opt-in)
         # stored-softmax single-pass backward: no QK^T/exp recompute, no
         # p/dp VMEM scratch round-trips (-30% at stage-3 geometry)
@@ -3831,6 +3871,9 @@ def attention_core_bwd_flat(qkv2, dctx2, bias, n: int, scale: float,
             interpret=interpret,
         )(p2, qkv2, dctx2)
     else:
+        if p2 is not None and not env_flag("MVLT_NO_STOREP"):
+            _warn_storep_unused(
+                f"stored p shape {p2.shape} != {(BWm * num_heads, N, N)}")
         dqkv2, dbias_m = pl.pallas_call(
             functools.partial(
                 _core_bwd_kernel2d, seq_n=N, scale=scale,

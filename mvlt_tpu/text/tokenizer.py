@@ -30,11 +30,15 @@ def load_vocab(vocab_path: str) -> Dict[str, int]:
 def find_default_vocab() -> Optional[str]:
     """Locate a bert-base-uncased vocab.txt without network access.
 
-    Search order: ``MVLT_VOCAB`` env var, a packaged ``vocab.txt`` next
-    to this module, the reference-layout ``./dataset`` path, then (dev
-    environments only) ``MVLT_DEV_VOCAB_ROOT/dataset/bert-base-uncased/
-    vocab.txt``.  Callers get ``None`` (and should fail loudly) when no
-    vocab is found — there is no baked absolute path."""
+    The package VENDORS the standard 30,522-entry bert-base-uncased
+    ``vocab.txt`` (+ ``special_tokens_map.json``) next to this module —
+    the framework tokenizes out of the box, matching the reference's
+    in-repo ``dataset/bert-base-uncased/`` layout.  Search order:
+    ``MVLT_VOCAB`` env var override, the packaged ``vocab.txt``, the
+    reference-layout ``./dataset`` path, then (dev environments only)
+    ``MVLT_DEV_VOCAB_ROOT/dataset/bert-base-uncased/vocab.txt``.
+    Callers get ``None`` (and should fail loudly) when no vocab is
+    found — there is no baked absolute path."""
     candidates = [
         os.environ.get("MVLT_VOCAB", ""),
         os.path.join(os.path.dirname(__file__), "vocab.txt"),

@@ -57,6 +57,11 @@ def main():
                     help="use the host float32 normalize chain instead of "
                          "the production device-normalize path")
     ap.add_argument("--jpeg_draft", action="store_true")
+    ap.add_argument("--u8_cache", action="store_true",
+                    help="preprocess the JPEGs into the raw-uint8 memmap "
+                         "cache first (the reference's own production "
+                         "layout, preprocess_rgc.py:8-51) and train from "
+                         "it — host work becomes read+collate")
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--epochs", type=int, default=3)
     args = ap.parse_args()
@@ -71,13 +76,22 @@ def main():
     tc = TrainConfig(batch_size=args.batch)
     workers = tc.num_workers if args.workers is None else args.workers
 
-    tok = WordPieceTokenizer(
-        "/root/reference/dataset/bert-base-uncased/vocab.txt")
+    from mvlt_tpu.text.tokenizer import find_default_vocab
+    tok = WordPieceTokenizer(find_default_vocab())
     tmp = tempfile.TemporaryDirectory()
     items = make_jpegs(tmp.name)
-    src = ImageFolderSource(
-        items, image_size=224, fast_decode=args.jpeg_draft,
-        normalize="host" if args.host_normalize else "device")
+    if args.u8_cache:
+        from mvlt_tpu.data.datasets import U8CacheSource
+        from mvlt_tpu.data.preprocess import build_u8_cache
+        t0 = time.perf_counter()
+        cache_dir = build_u8_cache(items, os.path.join(tmp.name, "u8cache"))
+        print(f"u8-cache build (offline, once): "
+              f"{N_IMAGES / (time.perf_counter() - t0):7.1f} images/sec")
+        src = U8CacheSource(cache_dir)
+    else:
+        src = ImageFolderSource(
+            items, image_size=224, fast_decode=args.jpeg_draft,
+            normalize="host" if args.host_normalize else "device")
     ds = PretrainDataset(src, tok, max_length=80)
     loader = DataLoader(ds, args.batch, shuffle=True, drop_last=True,
                         num_workers=workers)

@@ -42,8 +42,8 @@ def make_jpegs(root: str):
 
 
 def main():
-    tok = WordPieceTokenizer(
-        "/root/reference/dataset/bert-base-uncased/vocab.txt")
+    from mvlt_tpu.text.tokenizer import find_default_vocab
+    tok = WordPieceTokenizer(find_default_vocab())
     with tempfile.TemporaryDirectory() as root:
         items = make_jpegs(root)
         src = ImageFolderSource(items, image_size=224)

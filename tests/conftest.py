@@ -28,9 +28,8 @@ import sys
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 REFERENCE_ROOT = "/root/reference"
-# vocab discovery in this dev environment: the package does not bake an
-# absolute reference path (text/tokenizer.py:find_default_vocab)
-os.environ.setdefault("MVLT_DEV_VOCAB_ROOT", REFERENCE_ROOT)
+# Tokenization is self-contained: the package vendors vocab.txt
+# (mvlt_tpu/text/vocab.txt), so no MVLT_DEV_VOCAB_ROOT is needed here.
 
 # Build the native C++ library up front so tests that exercise the fast
 # paths (metrics PTB tokenizer, WordPiece) see it regardless of test order.

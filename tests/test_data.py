@@ -13,7 +13,9 @@ from mvlt_tpu.data.datasets import (ConcatSource, MedVQADataset,
 from mvlt_tpu.data.loader import DataLoader
 from mvlt_tpu.text.tokenizer import WordPieceTokenizer
 
-VOCAB = "/root/reference/dataset/bert-base-uncased/vocab.txt"
+from mvlt_tpu.text.tokenizer import find_default_vocab
+
+VOCAB = find_default_vocab()  # packaged mvlt_tpu/text/vocab.txt
 
 
 @pytest.fixture(scope="module")

@@ -19,3 +19,16 @@ def test_flagship_geometry_lowers_on_8_device_mesh():
         pytest.skip("needs the virtual 8-device CPU mesh")
     from mvlt_tpu.flagship import lower_flagship_multichip
     lower_flagship_multichip(8)   # raises on any partitioning failure
+
+
+@pytest.mark.slow
+def test_flagship_geometry_executes_on_8_device_mesh():
+    """EXECUTE one real-shape DP step at b8 (VERDICT r4 item 5): catches
+    runtime-only sharding failures (sharded AdamW numerics, collective
+    layouts, donation) that the AOT compile above cannot."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device CPU mesh")
+    from mvlt_tpu.flagship import execute_flagship_multichip
+    loss = execute_flagship_multichip(8, batch=8)
+    # MLM+ITM loss at near-random params: positive, sane magnitude
+    assert 0.0 < loss < 50.0, loss

@@ -92,6 +92,15 @@ with mesh:
 loss = float(metrics["loss"])
 assert np.isfinite(loss), loss
 assert int(state.step) == 1
+
+if os.environ.get("MVLT_MH_FLAGSHIP") == "1":
+    # FLAGSHIP-geometry lowering over the 2-host global mesh (VERDICT r4
+    # item 5): the real Swin-S + BERT-base step must AOT-compile with the
+    # production DP shardings when devices span processes.
+    from mvlt_tpu.flagship import lower_flagship_multichip
+    lower_flagship_multichip(4, mps=(1,))
+    print(f"WORKER_{pid}_FLAGSHIP_OK")
+
 print(f"WORKER_{pid}_OK loss={loss:.6f}")
 """
 
@@ -104,8 +113,7 @@ def _free_port() -> int:
     return port
 
 
-@pytest.mark.slow
-def test_two_process_distributed_smoke(tmp_path):
+def _run_workers(tmp_path, extra_env=None, timeout=420):
     port = _free_port()
     script = tmp_path / "worker.py"
     script.write_text(WORKER)
@@ -119,13 +127,14 @@ def test_two_process_distributed_smoke(tmp_path):
             "MVLT_PROC_ID": str(pid),
             "MVLT_COORD": f"127.0.0.1:{port}",
         })
+        env.update(extra_env or {})
         procs.append(subprocess.Popen(
             [sys.executable, str(script)], env=env, cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
     outs = []
     try:
         for p in procs:
-            out, err = p.communicate(timeout=420)
+            out, err = p.communicate(timeout=timeout)
             outs.append((p.returncode, out, err))
     except subprocess.TimeoutExpired:
         for p in procs:
@@ -139,3 +148,19 @@ def test_two_process_distributed_smoke(tmp_path):
     l0 = outs[0][1].split("loss=")[1].split()[0]
     l1 = outs[1][1].split("loss=")[1].split()[0]
     assert l0 == l1, (l0, l1)
+    return outs
+
+
+@pytest.mark.slow
+def test_two_process_distributed_smoke(tmp_path):
+    _run_workers(tmp_path)
+
+
+@pytest.mark.slow
+def test_two_process_flagship_lowering(tmp_path):
+    """Flagship-geometry DP step AOT-compiles over the 2-host global mesh
+    (VERDICT r4 item 5 — the multihost smoke was tiny-geometry only)."""
+    outs = _run_workers(tmp_path, extra_env={"MVLT_MH_FLAGSHIP": "1"},
+                        timeout=1500)
+    assert "WORKER_0_FLAGSHIP_OK" in outs[0][1]
+    assert "WORKER_1_FLAGSHIP_OK" in outs[1][1]

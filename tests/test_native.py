@@ -8,7 +8,9 @@ import pytest
 
 from mvlt_tpu.text.tokenizer import WordPieceTokenizer
 
-VOCAB = "/root/reference/dataset/bert-base-uncased/vocab.txt"
+from mvlt_tpu.text.tokenizer import find_default_vocab
+
+VOCAB = find_default_vocab()  # packaged mvlt_tpu/text/vocab.txt
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LIB = os.path.join(REPO, "mvlt_tpu", "_native", "libmvlt_native.so")
 

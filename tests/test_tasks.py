@@ -23,7 +23,9 @@ from mvlt_tpu.text.tokenizer import WordPieceTokenizer
 pytestmark = pytest.mark.skipif(jax.device_count() < 8,
                                 reason="needs 8 virtual devices")
 
-VOCAB = "/root/reference/dataset/bert-base-uncased/vocab.txt"
+from mvlt_tpu.text.tokenizer import find_default_vocab
+
+VOCAB = find_default_vocab()  # packaged mvlt_tpu/text/vocab.txt
 
 
 def tiny_cfg(**kw):
