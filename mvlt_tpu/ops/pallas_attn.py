@@ -893,6 +893,68 @@ def _full_shift_kernel_dp_save(x_ref, ln1s_ref, ln1b_ref, wqkv_ref,
             o_ref[b0 + src_:b0 + src_ + ln] = outc[b0 + dst:b0 + dst + ln]
 
 
+def _full_shift_kernel_save_p(x_ref, ln1s_ref, ln1b_ref, wqkv_ref,
+                              bqkv_ref, wproj_ref, bproj_ref, ln2s_ref,
+                              ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                              bias_ref, mask_ref, o_ref, qkv_ref, ctx_ref,
+                              p_ref, s_ref, *, scale: float, num_heads: int,
+                              window_n: int, runs, img_rows: int,
+                              n_img: int, mlp_chunks: int = 1,
+                              fast: bool = False):
+    """:func:`_full_shift_kernel_save` that also emits the normalized
+    softmax per (merged window pair, head), in the SHIFTED layout the
+    residuals already use — enables the stored-p attention-core backward
+    on SW-MSA blocks (the shift permutation never touches p: it is a
+    per-window quantity and the backward's cotangents are permuted into
+    the same layout before :func:`attention_core_bwd_flat` runs)."""
+    refs = (ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+            ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref)
+    for im in range(n_img):
+        b0 = im * img_rows
+        for dst, src_, ln in runs:
+            s_ref[b0 + dst:b0 + dst + ln] = x_ref[b0 + src_:b0 + src_ + ln]
+    X = s_ref[:].astype(jnp.float32)
+    out = _full_body(X, x_ref.dtype, refs, bias_ref, ctx_ref, scale=scale,
+                     num_heads=num_heads, window_n=window_n, fast=fast,
+                     mask_ref=mask_ref, mlp_chunks=mlp_chunks,
+                     qkv_ref=qkv_ref, p_ref=p_ref)
+    outc = out.astype(o_ref.dtype)
+    for im in range(n_img):
+        b0 = im * img_rows
+        for dst, src_, ln in runs:
+            o_ref[b0 + src_:b0 + src_ + ln] = outc[b0 + dst:b0 + dst + ln]
+
+
+def _full_shift_kernel_dp_save_p(x_ref, ln1s_ref, ln1b_ref, wqkv_ref,
+                                 bqkv_ref, wproj_ref, bproj_ref, ln2s_ref,
+                                 ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                                 bias_ref, mask_ref, dp1_ref, dp2_ref,
+                                 o_ref, qkv_ref, ctx_ref, p_ref, s_ref, *,
+                                 scale: float, num_heads: int,
+                                 window_n: int, runs, img_rows: int,
+                                 n_img: int, mlp_chunks: int = 1,
+                                 fast: bool = False):
+    """Stored-p variant of :func:`_full_shift_kernel_dp_save` (DropPath
+    multipliers in place, per-image constant)."""
+    refs = (ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+            ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref)
+    for im in range(n_img):
+        b0 = im * img_rows
+        for dst, src_, ln in runs:
+            s_ref[b0 + dst:b0 + dst + ln] = x_ref[b0 + src_:b0 + src_ + ln]
+    X = s_ref[:].astype(jnp.float32)
+    out = _full_body(X, x_ref.dtype, refs, bias_ref, ctx_ref, scale=scale,
+                     num_heads=num_heads, window_n=window_n, fast=fast,
+                     mask_ref=mask_ref, mlp_chunks=mlp_chunks,
+                     dp1_ref=dp1_ref, dp2_ref=dp2_ref, qkv_ref=qkv_ref,
+                     p_ref=p_ref)
+    outc = out.astype(o_ref.dtype)
+    for im in range(n_img):
+        b0 = im * img_rows
+        for dst, src_, ln in runs:
+            o_ref[b0 + src_:b0 + src_ + ln] = outc[b0 + dst:b0 + dst + ln]
+
+
 def shift_kernel_feasible(H: int, W: int, window: int, C: int,
                           batch: int, with_dp: bool = False) -> bool:
     """Whether the shift-folded whole-block kernel applies: programs must
@@ -988,12 +1050,30 @@ def _full_forward_shift(x, params, bias, *, scale, num_heads, interpret,
         out_shape = (jax.ShapeDtypeStruct(x2.shape, x.dtype),
                      jax.ShapeDtypeStruct((BW * N, 3 * C), x.dtype),
                      jax.ShapeDtypeStruct(x2.shape, x.dtype))
+        # stored-p backward on the shift path: same opt-in + geometry
+        # gate as _full_forward_inner (>=12 heads = stage-3+; the merged
+        # (2N, 2N) tile must fit the storep kernel's 128-lane check).
+        # p stays in the SHIFTED merged-pair layout — exactly what
+        # attention_core_bwd_flat's p2 path expects after the backward
+        # permutes its cotangents into that layout.
+        store_p = (num_heads >= 12 and N2 <= 128
+                   and env_flag("MVLT_STOREP")
+                   and not env_flag("MVLT_NO_STOREP"))
+        if store_p:
+            p_spec = pl.BlockSpec((rows // N2 * num_heads, N2, N2),
+                                  lambda i: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)
+            out_specs = out_specs + (p_spec,)
+            out_shape = out_shape + (jax.ShapeDtypeStruct(
+                (BW * N // N2 * num_heads, N2, N2), x.dtype),)
+        p = None
         if dp is not None:
             dp_spec = pl.BlockSpec((rows, 1), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM)
-            out, qkv, ctx = pl.pallas_call(
+            res = pl.pallas_call(
                 functools.partial(
-                    _full_shift_kernel_dp_save, scale=scale,
+                    _full_shift_kernel_dp_save_p if store_p
+                    else _full_shift_kernel_dp_save, scale=scale,
                     num_heads=num_heads, window_n=N2, runs=runs,
                     img_rows=LW, n_img=k, mlp_chunks=mlp_chunks,
                     fast=fast),
@@ -1012,9 +1092,10 @@ def _full_forward_shift(x, params, bias, *, scale, num_heads, interpret,
                     vmem_limit_bytes=32 * 1024 * 1024),
             )(x2, *params, rel_m, mask_m, dp[0], dp[1])
         else:
-            out, qkv, ctx = pl.pallas_call(
+            res = pl.pallas_call(
                 functools.partial(
-                    _full_shift_kernel_save, scale=scale,
+                    _full_shift_kernel_save_p if store_p
+                    else _full_shift_kernel_save, scale=scale,
                     num_heads=num_heads, window_n=N2, runs=runs,
                     img_rows=LW, n_img=k, mlp_chunks=mlp_chunks,
                     fast=fast),
@@ -1030,7 +1111,11 @@ def _full_forward_shift(x, params, bias, *, scale, num_heads, interpret,
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=32 * 1024 * 1024),
             )(x2, *params, rel_m, mask_m)
-        return out.reshape(BW, N, C), qkv, ctx
+        if store_p:
+            out, qkv, ctx, p = res
+        else:
+            out, qkv, ctx = res
+        return out.reshape(BW, N, C), qkv, ctx, p
     if dp is not None:
         dp_spec = pl.BlockSpec((rows, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)
@@ -1465,11 +1550,10 @@ def _full_fwd(x, params, bias, scale, num_heads, group, interpret,
         nW = (H // window) * (W // window)
         if dp is not None or shift_kernel_feasible(
                 H, W, window, C, BW // nW, with_dp=True):
-            out, qkv, ctx = _full_forward_shift(
+            out, qkv, ctx, p = _full_forward_shift(
                 x, tuple(params), bias, scale=scale, num_heads=num_heads,
                 interpret=interpret, shift_spec=shift_spec, dp=dp,
                 save_res=True)
-            p = None
         else:
             out = _full_forward_shift(
                 x, tuple(params), bias, scale=scale, num_heads=num_heads,
@@ -1931,8 +2015,11 @@ def _full_bwd_stored_shift(scale, num_heads, interpret, shift_spec, res,
     permuted into it (two XLA gathers — the same cost the fastcore
     recompute already paid), the layout-free stored backward runs there,
     and dx/ddp come back through the inverse permutation.  The (rel,
-    mask) bias tuple grads are reductions of the combined-bias grad."""
-    x, params, bias, dp, qkv, ctx, _p = res    # p not stored on shift path
+    mask) bias tuple grads are reductions of the combined-bias grad.
+    When the forward stored p (opt-in, >=12 heads) it is ALREADY in the
+    shifted merged-pair layout and feeds the stored-p core backward
+    directly — per-window quantities never cross the permutation."""
+    x, params, bias, dp, qkv, ctx, p = res
     interp = interpret or jax.default_backend() != "tpu"
     H, W, window, shift = shift_spec
     BW, N, C = x.shape
@@ -1961,7 +2048,7 @@ def _full_bwd_stored_shift(scale, num_heads, interpret, shift_spec, res,
 
     dx_s, dparams, dbias, ddp_s = _stored_block_bwd(
         x_s, params, combined, dp_s, qkv, ctx, g_s, scale, num_heads,
-        interp)
+        interp, p=p)
 
     dx = to_unshifted(dx_s).astype(x.dtype)
     ddp = None
@@ -3829,6 +3916,66 @@ def attention_core_bwd_flat(qkv2, dctx2, bias, n: int, scale: float,
         N, BWm, bias_m, merged = n, BW, bias, False
     nWb = bias_m.shape[0]
 
+    bias_spec = pl.BlockSpec(bias_m.shape, lambda i: (0,) * bias_m.ndim,
+                             memory_space=pltpu.VMEM)
+
+    def unmerge(dqkv2, dbias_m):
+        if merged:
+            top = dbias_m[:, :, :n, :n]
+            bot = dbias_m[:, :, n:, n:]
+            if nWb0 == 1:
+                dbias = (top + bot).astype(jnp.float32)
+            else:
+                dbias = jnp.stack([top, bot], axis=1).reshape(
+                    nWb0, dbias_m.shape[1], n, n)
+        else:
+            dbias = dbias_m
+        return dqkv2, dbias.astype(jnp.float32)
+
+    # stored-p single-pass backward (reached only when the forward
+    # stored p — itself opt-in): no QK^T/exp recompute, no p/dp VMEM
+    # scratch round-trips (-30% at stage-3 geometry).  The kernel never
+    # READS bias, so the recompute kernel's pattern-alignment rule
+    # (nWb % G == 0) is unnecessary here — dbias rows are indexed
+    # dynamically per merged window.  That admits the SW-MSA merged
+    # geometry (nWb = 2 patterns, N = 98) whose only 8-aligned groups
+    # (G % 4 == 0) the recompute rule below rejects.
+    use_p = p2 is not None and not env_flag("MVLT_NO_STOREP")
+    if use_p and p2.shape != (BWm * num_heads, N, N):
+        _warn_storep_unused(
+            f"stored p shape {p2.shape} != {(BWm * num_heads, N, N)}")
+        use_p = False
+    if use_p and not env_flag("MVLT_NO_CORE2D"):
+        def ok_p(G):
+            return (BWm % G == 0 and (G * N) % 8 == 0
+                    and G * (N * C3 * 12
+                             + num_heads * N * N * p2.dtype.itemsize)
+                    <= 10 * 1024 * 1024)
+
+        Gp = 8
+        while Gp > 1 and not ok_p(Gp):
+            Gp //= 2
+        if not ok_p(Gp):
+            _warn_storep_unused("no VMEM-admissible storep group")
+        else:
+            spec2p = lambda c: pl.BlockSpec((Gp * N, c), lambda i: (i, 0),
+                                            memory_space=pltpu.VMEM)
+            p_spec = pl.BlockSpec((Gp * num_heads, N, N),
+                                  lambda i: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)
+            dqkv2, dbias_m = pl.pallas_call(
+                functools.partial(_core_bwd_storep_kernel, seq_n=N,
+                                  scale=scale, num_heads=num_heads),
+                grid=(BWm // Gp,),
+                in_specs=[p_spec, spec2p(C3), spec2p(C)],
+                out_specs=(spec2p(C3), bias_spec),
+                out_shape=(jax.ShapeDtypeStruct((M, C3), qkv2.dtype),
+                           jax.ShapeDtypeStruct(bias_m.shape,
+                                                jnp.float32)),
+                interpret=interpret,
+            )(p2, qkv2, dctx2)
+            return unmerge(dqkv2, dbias_m)
+
     def ok(G):
         # block rows must be sublane-aligned; VMEM: value blocks (the
         # usual 12-bytes/elem heuristic) + the two-pass p/dp scratch
@@ -3841,7 +3988,7 @@ def attention_core_bwd_flat(qkv2, dctx2, bias, n: int, scale: float,
     while G > 1 and not ok(G):
         G //= 2
     if not ok(G) or env_flag("MVLT_NO_CORE2D"):
-        if p2 is not None:
+        if use_p:
             _warn_storep_unused("no VMEM-admissible 2-D group")
         dqkv, dbias = attention_core_bwd(
             qkv2.reshape(BW, n, C3), dctx2.reshape(BW, n, C), bias,
@@ -3850,55 +3997,21 @@ def attention_core_bwd_flat(qkv2, dctx2, bias, n: int, scale: float,
 
     spec2 = lambda c: pl.BlockSpec((G * N, c), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM)
-    bias_spec = pl.BlockSpec(bias_m.shape, lambda i: (0,) * bias_m.ndim,
-                             memory_space=pltpu.VMEM)
-    if (p2 is not None
-            and p2.shape == (BWm * num_heads, N, N)
-            and not env_flag("MVLT_NO_STOREP")):
-        # (reached only when the forward stored p — itself opt-in)
-        # stored-softmax single-pass backward: no QK^T/exp recompute, no
-        # p/dp VMEM scratch round-trips (-30% at stage-3 geometry)
-        p_spec = pl.BlockSpec((G * num_heads, N, N), lambda i: (i, 0, 0),
-                              memory_space=pltpu.VMEM)
-        dqkv2, dbias_m = pl.pallas_call(
-            functools.partial(_core_bwd_storep_kernel, seq_n=N,
-                              scale=scale, num_heads=num_heads),
-            grid=(BWm // G,),
-            in_specs=[p_spec, spec2(C3), spec2(C)],
-            out_specs=(spec2(C3), bias_spec),
-            out_shape=(jax.ShapeDtypeStruct((M, C3), qkv2.dtype),
-                       jax.ShapeDtypeStruct(bias_m.shape, jnp.float32)),
-            interpret=interpret,
-        )(p2, qkv2, dctx2)
-    else:
-        if p2 is not None and not env_flag("MVLT_NO_STOREP"):
-            _warn_storep_unused(
-                f"stored p shape {p2.shape} != {(BWm * num_heads, N, N)}")
-        dqkv2, dbias_m = pl.pallas_call(
-            functools.partial(
-                _core_bwd_kernel2d, seq_n=N, scale=scale,
-                num_heads=num_heads,
-                fast=(qkv2.dtype == jnp.bfloat16 and not interpret)),
-            grid=(BWm // G,),
-            in_specs=[spec2(C3), spec2(C), bias_spec],
-            out_specs=(spec2(C3), bias_spec),
-            out_shape=(jax.ShapeDtypeStruct((M, C3), qkv2.dtype),
-                       jax.ShapeDtypeStruct(bias_m.shape, jnp.float32)),
-            scratch_shapes=[pltpu.VMEM((G * num_heads, N, N), jnp.float32),
-                            pltpu.VMEM((G * num_heads, N, N), jnp.float32)],
-            interpret=interpret,
-        )(qkv2, dctx2, bias_m)
-    if merged:
-        top = dbias_m[:, :, :n, :n]
-        bot = dbias_m[:, :, n:, n:]
-        if nWb0 == 1:
-            dbias = (top + bot).astype(jnp.float32)
-        else:
-            dbias = jnp.stack([top, bot], axis=1).reshape(
-                nWb0, dbias_m.shape[1], n, n)
-    else:
-        dbias = dbias_m
-    return dqkv2, dbias.astype(jnp.float32)
+    dqkv2, dbias_m = pl.pallas_call(
+        functools.partial(
+            _core_bwd_kernel2d, seq_n=N, scale=scale,
+            num_heads=num_heads,
+            fast=(qkv2.dtype == jnp.bfloat16 and not interpret)),
+        grid=(BWm // G,),
+        in_specs=[spec2(C3), spec2(C), bias_spec],
+        out_specs=(spec2(C3), bias_spec),
+        out_shape=(jax.ShapeDtypeStruct((M, C3), qkv2.dtype),
+                   jax.ShapeDtypeStruct(bias_m.shape, jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((G * num_heads, N, N), jnp.float32),
+                        pltpu.VMEM((G * num_heads, N, N), jnp.float32)],
+        interpret=interpret,
+    )(qkv2, dctx2, bias_m)
+    return unmerge(dqkv2, dbias_m)
 
 
 def _core_merge(qkv, bias):

@@ -174,6 +174,43 @@ def pallas_dw_outtiles(C, N, tile_n):
     return run
 
 
+# ---- G. out-tile x M-chunk grid, scratch f32 accumulator ---------------
+
+def pallas_dw_outtile_mchunk(C, N, tile_n, chunks):
+    nt = N // tile_n
+    Mc = M // chunks
+
+    def kern(x_ref, dy_ref, o_ref, acc_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+        acc_ref[:] += jax.lax.dot_general(
+            x_ref[:], dy_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        @pl.when(j == chunks - 1)
+        def _():
+            o_ref[:] = acc_ref[:]
+
+    f = pl.pallas_call(
+        kern, grid=(nt, chunks),
+        in_specs=[pl.BlockSpec((Mc, C), lambda i, j: (j, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((Mc, tile_n), lambda i, j: (j, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((C, tile_n), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, N), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((C, tile_n), jnp.float32)],
+    )
+
+    def run(x, dy):
+        return f(x, dy)[::7, ::13].sum()
+    return run
+
+
 def main():
     rng = np.random.default_rng(0)
     for C in (96, 192, 384, 768):
@@ -203,13 +240,24 @@ def main():
                    timeit(pallas_dw_sublane(N, C, 7), dy, x), N, C)
         except Exception as e:
             print(f"C: {type(e).__name__}", flush=True)
-        if C <= 192:
-            for tn in (128, 256):
+        # F is VMEM-feasible up to C=384 (x resident 4.6MB + dy tile);
+        # at C=768 x alone is 9.2MB, so stream both via G instead.
+        if C <= 384:
+            for tn in (256, 512):
                 try:
                     report(f"F pallas outtile n{tn}",
                            timeit(pallas_dw_outtiles(C, N, tn), x, dy), C, N)
                 except Exception as e:
                     print(f"F n{tn}: {type(e).__name__}", flush=True)
+        for tn, ch in ((256, 7), (256, 14), (512, 7), (N, 7), (N, 14)):
+            if tn > N:
+                continue
+            try:
+                report(f"G outtile n{tn} c{ch}",
+                       timeit(pallas_dw_outtile_mchunk(C, N, tn, ch),
+                              x, dy), C, N)
+            except Exception as e:
+                print(f"G n{tn} c{ch}: {type(e).__name__}", flush=True)
 
 
 if __name__ == "__main__":

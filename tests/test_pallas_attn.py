@@ -1183,3 +1183,53 @@ def test_stored_p_backward_matches_recompute():
     np.testing.assert_allclose(g_on[0], g_off[0], atol=1e-4)
     for a, b in zip(g_on[1], g_off[1]):
         np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_stored_p_backward_matches_recompute_shift():
+    """Shift-folded (SW-MSA) stored-p branch: the forward stores p in
+    the SHIFTED merged-pair layout and the stored backward consumes it
+    after permuting its cotangents into that layout — grads must match
+    the recompute backward exactly in f32 interpret mode."""
+    import os
+
+    import jax
+    import numpy as np
+
+    import mvlt_tpu.ops.pallas_attn as pa
+
+    rng = np.random.default_rng(1)
+    H = W = 14
+    window, shift = 7, 3
+    nW = (H // window) * (W // window)            # 4 windows, stage-3-like
+    B, N, C, nH = 2, window * window, 96, 12      # 12 heads => store_p
+    BW = B * nW
+    assert pa.shift_kernel_feasible(H, W, window, C, B, with_dp=True)
+    x = jnp.asarray(rng.normal(size=(BW, N, C)) * .1, jnp.float32)
+    params = tuple(
+        jnp.asarray(rng.normal(size=s) * .05, jnp.float32) for s in
+        [(C,), (C,), (C, 3 * C), (3 * C,), (C, C), (C,), (C,), (C,),
+         (C, 4 * C), (4 * C,), (4 * C, C), (C,)])
+    rel = jnp.asarray(rng.normal(size=(1, nH, N, N)) * .1, jnp.float32)
+    # SW-MSA shift-mask patterns (nW, N, N): 0 / -1e9-style separation
+    mask = jnp.where(
+        jnp.asarray(rng.uniform(size=(nW, N, N))) > 0.9, -100.0, 0.0
+    ).astype(jnp.float32)
+    scale = (C // nH) ** -0.5
+
+    def loss(x, params):
+        out = pa.swin_full_block(x, params, (rel, mask), scale, nH,
+                                 interpret=True,
+                                 shift_spec=(H, W, window, shift))
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    grad = jax.value_and_grad(loss, argnums=(0, 1))
+    os.environ["MVLT_STOREP"] = "1"
+    try:
+        l_on, g_on = grad(x, params)
+    finally:
+        del os.environ["MVLT_STOREP"]
+    l_off, g_off = grad(x, params)
+    assert float(l_on) == float(l_off)
+    np.testing.assert_allclose(g_on[0], g_off[0], atol=1e-4)
+    for a, b in zip(g_on[1], g_off[1]):
+        np.testing.assert_allclose(a, b, atol=1e-4)
