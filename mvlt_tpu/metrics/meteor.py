@@ -5,9 +5,13 @@ Faithful to the Meteor 1.5 algorithm (Denkowski & Lavie 2014) within
 what is implementable offline:
 
 - **Matchers**: *exact* and *Porter-stem* modules with the English module
-  weights (1.0 / 0.6).  The *synonym* (WordNet) and *paraphrase* (table
-  in the jar) modules need data files that are unavailable offline —
-  documented deviation; matched scores lower-bound the jar's.
+  weights (1.0 / 0.6).  The *synonym* (WordNet) module's data cannot be
+  bundled offline, but the stage itself is data-only: point
+  ``MVLT_METEOR_SYNONYMS`` at a file of whitespace-separated synonym
+  groups (one group per line — e.g. flattened WordNet synsets) and it
+  activates with Meteor's English synonym weight (0.8).  The
+  *paraphrase* module (phrase table in the jar) stays out of reach
+  offline — documented deviation; matched scores lower-bound the jar's.
 - **Alignment**: Meteor's actual resolution, not a greedy scan — among
   all one-to-one match sets, pick the alignment that (1) maximizes
   covered words, (2) minimizes chunks, (3) minimizes total |i-j|
@@ -30,8 +34,33 @@ from typing import Dict, List, Sequence, Tuple
 from mvlt_tpu.metrics.porter import porter_stem
 
 ALPHA, BETA, GAMMA, DELTA = 0.85, 0.2, 0.6, 0.75
-MODULE_WEIGHTS = (1.0, 0.6)          # exact, stem (en defaults)
+MODULE_WEIGHTS = (1.0, 0.6, 0.8)     # exact, stem, synonym (en defaults)
 BEAM = 64
+
+_SYN_TABLE: Dict[str, frozenset] | None = None
+_SYN_PATH: str | None = None
+
+
+def _synonym_table() -> Dict[str, frozenset] | None:
+    """Loadable synonym stage: ``MVLT_METEOR_SYNONYMS`` names a file of
+    whitespace-separated synonym groups, one group per line.  Two words
+    synonym-match when they share a group — the same relation the jar
+    derives from WordNet synsets (meteor-1.5 synonym module).  Reloaded
+    when the env var changes; None disables the stage (default)."""
+    global _SYN_TABLE, _SYN_PATH
+    import os
+    path = os.environ.get("MVLT_METEOR_SYNONYMS") or None
+    if path != _SYN_PATH:
+        _SYN_PATH = path
+        _SYN_TABLE = None
+        if path:
+            table: Dict[str, set] = {}
+            with open(path, encoding="utf-8") as f:
+                for gid, line in enumerate(f):
+                    for w in line.split():
+                        table.setdefault(w.lower(), set()).add(gid)
+            _SYN_TABLE = {w: frozenset(g) for w, g in table.items()}
+    return _SYN_TABLE
 
 # Approximation of meteor-1.5's English function.words (words with
 # relative frequency >= 1e-3 in its corpus): articles, auxiliaries,
@@ -52,11 +81,13 @@ all any because while with
 
 def _candidate_matches(hyp: Sequence[str], ref: Sequence[str]
                        ) -> Dict[Tuple[int, int], int]:
-    """(i, j) -> best module index (0 exact, 1 stem)."""
+    """(i, j) -> best module index (0 exact, 1 stem, 2 synonym)."""
     out: Dict[Tuple[int, int], int] = {}
+    syn = _synonym_table()
     ref_stems = [porter_stem(r) for r in ref]
     for i, h in enumerate(hyp):
         hs = None
+        hsyn = syn.get(h.lower()) if syn is not None else None
         for j, r in enumerate(ref):
             if h == r:
                 out[(i, j)] = 0
@@ -65,6 +96,9 @@ def _candidate_matches(hyp: Sequence[str], ref: Sequence[str]
                     hs = porter_stem(h)
                 if hs == ref_stems[j]:
                     out.setdefault((i, j), 1)
+                elif hsyn is not None and not hsyn.isdisjoint(
+                        syn.get(r.lower(), frozenset())):
+                    out.setdefault((i, j), 2)
     return out
 
 

@@ -109,6 +109,27 @@ def test_meteor_behavior():
     assert s1 > s2
 
 
+def test_meteor_synonym_stage_loadable(tmp_path, monkeypatch):
+    """The synonym stage is data-only (MVLT_METEOR_SYNONYMS: one
+    whitespace-separated synonym group per line).  With a group loaded,
+    words sharing it align at module weight 0.8; without the table the
+    stage is off (default)."""
+    hyp = {0: ["the effusion is big"]}
+    ref = {0: ["the effusion is large"]}
+    off, _ = corpus_meteor(ref, hyp)
+    syn = tmp_path / "syn.txt"
+    syn.write_text("big large huge\nsmall tiny\n")
+    monkeypatch.setenv("MVLT_METEOR_SYNONYMS", str(syn))
+    on, _ = corpus_meteor(ref, hyp)
+    monkeypatch.delenv("MVLT_METEOR_SYNONYMS")
+    off2, _ = corpus_meteor(ref, hyp)
+    assert on > off                       # synonym match raises the score
+    assert off2 == off                    # unset -> stage off again
+    # synonym weight sits below exact: identical sentence still wins
+    exact, _ = corpus_meteor(ref, ref)
+    assert exact > on
+
+
 def test_porter_stemmer_known_values():
     cases = {"caresses": "caress", "ponies": "poni", "ties": "ti",
              "caress": "caress", "cats": "cat", "feed": "feed",
