@@ -182,15 +182,27 @@ class DataLoader:
 
 
 def device_prefetch(iterator, *, size: int = 2, sharding=None,
-                    transform=None):
+                    transform=None, threads: int = 1):
     """Keep ``size`` batches resident on device ahead of the consumer so
     host->HBM copies overlap the previous step's compute (replaces the
     reference's pinned-memory DataLoader behavior on the TPU side).
 
+    The copies run in dedicated producer THREADS: ``jax.device_put`` is
+    nominally async, but transports where it blocks until bytes land
+    (e.g. a tunneled runtime) would otherwise serialize transfer with
+    step dispatch in the consumer's loop.  The threads also pull the
+    HOST iterator, so host-side batch assembly overlaps device compute
+    even with an in-process (0-worker) loader.  With ``threads > 1``
+    transfers pipeline each other (useful when each put is RTT-bound);
+    batches are resequenced so delivery order ALWAYS matches the host
+    iterator — epoch determinism is unaffected.
+
     ``transform`` (optional) maps the host batch (e.g. drop string fields)
     before the copy; ``sharding`` is passed to ``jax.device_put``.
     """
-    import collections
+    import heapq
+    import queue as _queue
+    import threading
 
     import jax
 
@@ -201,10 +213,72 @@ def device_prefetch(iterator, *, size: int = 2, sharding=None,
             return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
         return jax.tree.map(jax.device_put, batch)
 
-    queue_: "collections.deque" = collections.deque()
-    for batch in iterator:
-        queue_.append(put(batch))
-        if len(queue_) >= size:
-            yield queue_.popleft()
-    while queue_:
-        yield queue_.popleft()
+    iterator = iter(iterator)
+    q: "_queue.Queue" = _queue.Queue(maxsize=max(size, threads))
+    _END = object()
+    stop = threading.Event()
+    src_lock = threading.Lock()
+    seq = [0]
+
+    def next_numbered():
+        with src_lock:
+            try:
+                batch = next(iterator)
+            except StopIteration:
+                return None
+            s = seq[0]
+            seq[0] += 1
+            return s, batch
+
+    def bounded_put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except _queue.Full:
+                continue
+        return False
+
+    def produce():
+        try:
+            while not stop.is_set():
+                nb = next_numbered()
+                if nb is None:
+                    bounded_put((None, _END))
+                    return
+                s, batch = nb
+                if not bounded_put((s, put(batch))):
+                    return
+        except BaseException as e:        # surface producer errors
+            bounded_put((None, e))
+
+    workers = [threading.Thread(target=produce, daemon=True)
+               for _ in range(max(1, threads))]
+    for t in workers:
+        t.start()
+    ends = 0
+    expect = 0
+    held: list = []                        # heap of (seq, batch)
+    try:
+        while True:
+            while held and held[0][0] == expect:
+                yield heapq.heappop(held)[1]
+                expect += 1
+            s, item = q.get()
+            if item is _END:
+                ends += 1
+                if ends == len(workers):
+                    while held:            # drain any resequenced tail
+                        yield heapq.heappop(held)[1]
+                        expect += 1
+                    return
+                continue
+            if isinstance(item, BaseException):
+                raise item
+            if s == expect:
+                yield item
+                expect += 1
+            else:
+                heapq.heappush(held, (s, item))
+    finally:
+        stop.set()

@@ -105,12 +105,13 @@ def make_train_step(loss_fn: Callable[[Any, Any, Batch, jax.Array], Any],
         return jax.tree.map(lambda x: jax.device_put(x, data),
                             _validate(batch))
 
-    def prefetch(iterator, size: int = 2):
+    def prefetch(iterator, size: int = 2, threads: int = 1):
         """Wrap a host batch iterator with device prefetch (copies overlap
-        the previous step's compute)."""
+        the previous step's compute).  ``threads > 1`` pipelines the
+        host->device transfers themselves (order preserved)."""
         from mvlt_tpu.data.loader import device_prefetch
         return device_prefetch(iterator, size=size, sharding=data,
-                               transform=_validate)
+                               transform=_validate, threads=threads)
 
     if use_shard_map and dp_only:
         # manual DP: every mesh axis is manual inside, so Mosaic kernels

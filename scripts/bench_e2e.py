@@ -64,6 +64,11 @@ def main():
                          "it — host work becomes read+collate")
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--prefetch", type=int, default=2,
+                    help="device-resident batches ahead of the consumer")
+    ap.add_argument("--put_threads", type=int, default=1,
+                    help="parallel host->device transfer threads "
+                         "(order-preserving)")
     args = ap.parse_args()
 
     # Build the dataset + loader FIRST so worker forks happen before most
@@ -121,6 +126,7 @@ def main():
 
     # device-only rate on a captured batch (same session, same state)
     warm = next(iter(step.prefetch(loader.epoch(0))))
+    pf = dict(size=args.prefetch, threads=args.put_threads)
     state, m = step(state, warm, key)
     float(jax.device_get(m["loss"]))
     t0 = time.perf_counter()
@@ -134,7 +140,7 @@ def main():
     n = 0
     t0 = time.perf_counter()
     for ep in range(args.epochs):
-        for b in step.prefetch(loader.epoch(ep)):
+        for b in step.prefetch(loader.epoch(ep), **pf):
             state, m = step(state, b, key)
             n += args.batch
     float(jax.device_get(m["loss"]))

@@ -290,3 +290,36 @@ def test_loader_process_workers_abandoned_epoch():
     while threading.active_count() > before and _time.time() < deadline:
         _time.sleep(0.05)
     assert threading.active_count() <= before, "producer thread leaked"
+
+
+def test_device_prefetch_multithread_order_and_errors():
+    """device_prefetch with threads > 1 pipelines transfers but MUST
+    deliver batches in host-iterator order (epoch determinism), drain the
+    full epoch, and propagate producer exceptions."""
+    import time as _time
+
+    from mvlt_tpu.data.loader import device_prefetch
+
+    def gen(n):
+        for i in range(n):
+            # jitter assembly so threads race and finish out of order
+            _time.sleep(0.002 if i % 3 else 0.01)
+            yield {"i": np.full((2,), i, np.int32)}
+
+    for threads in (1, 2, 4):
+        got = [int(b["i"][0]) for b in
+               device_prefetch(gen(17), size=3, threads=threads)]
+        assert got == list(range(17)), (threads, got)
+
+    def boom():
+        yield {"i": np.zeros(2, np.int32)}
+        raise RuntimeError("producer failed")
+
+    it = device_prefetch(boom(), size=2, threads=2)
+    next(it)
+    try:
+        for _ in it:
+            pass
+        raise AssertionError("expected RuntimeError")
+    except RuntimeError as e:
+        assert "producer failed" in str(e)
