@@ -73,10 +73,14 @@ def main():
                               max_length=32)
     model = CaptionModel(cfg, dtype=jnp.bfloat16)
     variables = zeros_init(model, image, caption)
+    # fetch a SCALAR, not the (B, T, H) features — fetching ~5 MB of
+    # features through the tunnel would bill transport to the encode
     enc = jax.jit(lambda v, im: model.apply(
-        v, im, method=lambda m, i: m.encode_image(i)))
+        v, im, method=lambda m, i: m.encode_image(i))
+        .astype(jnp.float32).sum())
     jax.device_get(enc(variables, image))
-    t_enc = timed_best(lambda: jax.device_get(enc(variables, image))) - floor
+    t_enc = timed_best(lambda: float(jax.device_get(
+        enc(variables, image)))) - floor
     print(f"encode (Swin+adapter) b{B}: {t_enc * 1e3:7.2f} ms", flush=True)
 
     # full decode at several lengths -> slope = per-token cost
@@ -95,21 +99,24 @@ def main():
         print(f"decode len {L:3d}: {t * 1e3:8.2f} ms "
               f"({B * L / t:8.0f} tok/s)", flush=True)
 
-    # least-squares slope/intercept over the length sweep
-    xs = np.asarray(lens, np.float64)
-    ys = np.asarray([totals[L] for L in lens], np.float64)
-    slope, intercept = np.polyfit(xs, ys, 1)
-    print(f"\nper-token step : {slope * 1e3:6.3f} ms "
-          f"({B / slope:8.0f} tok/s marginal)")
-    print(f"fixed (encode+prefill+finalize): {intercept * 1e3:6.2f} ms "
+    # Marginal per-token cost between consecutive lengths.  NOTE: a
+    # single linear fit is the WRONG model here — the static KV cache
+    # is sized to max_length, so each decode step's attention scans the
+    # full cache and the per-token cost GROWS with L (measured round 5:
+    # 5.9 -> 7.5 -> 10.6 ms/token across 8->16->32->64).
+    print()
+    for a, b in zip(lens, lens[1:]):
+        m = (totals[b] - totals[a]) / (b - a)
+        print(f"marginal per-token {a:3d}->{b:3d}: {m * 1e3:6.2f} ms "
+              f"({B / m:7.0f} tok/s)")
+    # fixed share estimated from the shortest length (cache smallest):
+    m0 = (totals[lens[1]] - totals[lens[0]]) / (lens[1] - lens[0])
+    fixed = totals[lens[0]] - m0 * lens[0]
+    print(f"\nfixed (encode+prefill+finalize) ~ {fixed * 1e3:6.2f} ms, "
           f"of which encode {t_enc * 1e3:.2f}")
-    print(f"prefill+finalize residual      : "
-          f"{(intercept - t_enc) * 1e3:6.2f} ms")
-    # headline reconstruction at L=32
     t32 = totals[32]
-    print(f"\nbudget @ L=32: total {t32 * 1e3:.2f} ms = encode "
-          f"{t_enc * 1e3:.2f} + prefill/finalize "
-          f"{(intercept - t_enc) * 1e3:.2f} + 32 x {slope * 1e3:.3f}")
+    print(f"budget @ L=32: total {t32 * 1e3:.2f} ms "
+          f"(headline-comparable: {B * 32 / t32:.0f} tok/s)")
 
 
 if __name__ == "__main__":
