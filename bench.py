@@ -175,7 +175,13 @@ def measure_retrieval_grid(n: int = 128, iters: int = 8) -> float:
                             method=model.score_from_features)
             return carry + p.mean(), None
         def one_pass(tot, _):
-            s, _ = jax.lax.scan(row, jnp.float32(0), feats)
+            # perturb by the carry so the pass is LOOP-DEPENDENT: an
+            # invariant body gets hoisted out of the while loop by XLA
+            # LICM and the timing then covers ONE pass, inflating the
+            # metric by ~iters x (caught round 5: 74k "pairs/s" was
+            # physically impossible at ~15 GF/pair)
+            f2 = feats * (1 + tot * 1e-20).astype(feats.dtype)
+            s, _ = jax.lax.scan(row, jnp.float32(0), f2)
             return tot + s * 1e-12, s
         tot, _ = jax.lax.scan(one_pass, jnp.float32(0), None, length=iters)
         return tot
