@@ -289,3 +289,60 @@ def test_in_kernel_attention_dropout_on_chip(tpu):
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32),
                                    atol=0.02, rtol=0.02)
+
+
+def test_stored_p_backward_bf16_parity_on_chip(tpu):
+    """Compiled bf16 fast-path stored-p backward vs the recompute
+    backward, both W-MSA (merged pairs) and shift-folded SW-MSA
+    layouts.  On the fast path p is stored bf16, so grads differ at
+    the bf16-noise level (~0.4% relative on attention-core grads,
+    PERF.md round 4) — assert relative L2 error per leaf stays well
+    inside that band's headroom."""
+    import jax
+    import jax.numpy as jnp
+
+    import mvlt_tpu.ops.pallas_attn as pa
+
+    rng = np.random.default_rng(7)
+    H = W = 14
+    window, shift = 7, 3
+    nW = (H // window) * (W // window)
+    B, N, C, nH = 2, window * window, 384, 12       # stage-3 geometry
+    BW = B * nW
+    x = jnp.asarray(rng.normal(size=(BW, N, C)) * .1, jnp.bfloat16)
+    params = tuple(
+        jnp.asarray(rng.normal(size=s) * .05, jnp.bfloat16) for s in
+        [(C,), (C,), (C, 3 * C), (3 * C,), (C, C), (C,), (C,), (C,),
+         (C, 4 * C), (4 * C,), (4 * C, C), (C,)])
+    rel = jnp.asarray(rng.normal(size=(1, nH, N, N)) * .1, jnp.float32)
+    mask = jnp.where(
+        jnp.asarray(rng.uniform(size=(nW, N, N))) > 0.9, -100.0, 0.0
+    ).astype(jnp.float32)
+    scale = (C // nH) ** -0.5
+
+    def run_case(shift_spec, bias):
+        def loss(x, params):
+            out = pa.swin_full_block(x, params, bias, scale, nH,
+                                     shift_spec=shift_spec)
+            return (out.astype(jnp.float32) ** 2).sum()
+
+        # fresh jit wrapper per env state: the STOREP flag is read at
+        # TRACE time, so reusing one wrapper would reuse the first trace
+        os.environ["MVLT_STOREP"] = "1"
+        try:
+            g_on = jax.device_get(
+                jax.jit(jax.grad(loss, argnums=(0, 1)))(x, params))
+        finally:
+            del os.environ["MVLT_STOREP"]
+        g_off = jax.device_get(
+            jax.jit(jax.grad(loss, argnums=(0, 1)))(x, params))
+        for a, b in zip(jax.tree_util.tree_leaves(g_on),
+                        jax.tree_util.tree_leaves(g_off)):
+            a = np.asarray(a, np.float64)
+            b = np.asarray(b, np.float64)
+            denom = np.linalg.norm(b) + 1e-6
+            rel_err = np.linalg.norm(a - b) / denom
+            assert rel_err < 2e-2, (a.shape, rel_err)
+
+    run_case(None, rel)                              # W-MSA merged pairs
+    run_case((H, W, window, shift), (rel, mask))     # shift-folded SW-MSA
